@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark: XPBD solver steps/s at ~100k particles, single chip.
+
+Scene = BASELINE.md config 1 scaled to the north-star size: a 320×320 cloth
+(102,400 particles, ~306k XPBD distance + ~305k XPBD bending constraints),
+5 substeps × 1 iteration at dt=0.005 (reference defaults,
+``TimeStepController.cpp:28-30``), batched Jacobi projection.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 60 — the north-star per-rollout rate (≥60 sim
+steps/s at 100k particles, BASELINE.json).
+"""
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=320)
+    ap.add_argument("--steps-per-call", type=int, default=20)
+    ap.add_argument("--calls", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from positionbaseddynamics_tpu.models import SceneBuilder
+    from positionbaseddynamics_tpu.solver import StepConfig, rollout
+
+    b = SceneBuilder()
+    tm = b.add_regular_triangle_model(args.width, args.height, scale=(2.0, 2.0))
+    b.set_mass(tm.offset, 0.0)
+    b.set_mass(tm.offset + args.width - 1, 0.0)
+    b.add_cloth_constraints(tm, method=4, distance_stiffness=1e5)
+    b.add_bending_constraints(tm, method=3, stiffness=0.05)
+    state, cset = b.build()
+    cfg = StepConfig()
+
+    def chunk(s):
+        return rollout(s, cset, cfg, args.steps_per_call)[0]
+
+    # NOTE: no donate_argnums — buffer donation triggers an INVALID_ARGUMENT
+    # TPU backend error on this image's tunneled (axon) backend.
+    if args.batch > 1:
+        state = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (args.batch,) + a.shape), state)
+        chunk_fn = jax.jit(jax.vmap(chunk))
+    else:
+        chunk_fn = jax.jit(chunk)
+
+    state = chunk_fn(state)               # warmup / compile
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(args.calls):
+        state = chunk_fn(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    steps = args.calls * args.steps_per_call
+    steps_per_s = steps / dt
+    print(json.dumps({
+        "metric": f"xpbd_cloth_{args.width * args.height // 1000}k_steps_per_s"
+                  + (f"_b{args.batch}" if args.batch > 1 else ""),
+        "value": round(steps_per_s * args.batch, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s * args.batch / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+"""Scene/model builders (layer "SimulationModel" of the reference)."""
+
+from .mesh import TriangleMesh, TetMesh
+from .builders import (
+    SceneBuilder,
+    regular_triangle_grid,
+    regular_tet_grid,
+)

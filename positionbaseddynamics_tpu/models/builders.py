@@ -1,0 +1,416 @@
+"""Scene building — the functional analogue of ``SimulationModel``'s
+``add*`` builder surface (``Simulation/SimulationModel.h:186-249``).
+
+A :class:`SceneBuilder` accumulates particles/orientations and constraint
+specs on the host (numpy, vectorized chunk lists so 100k+-particle scenes
+build in seconds), then ``build()`` freezes everything into a
+``(SimState, ConstraintSet)`` pair of device arrays. Masses of 0 pin
+particles (``ParticleData.h:90`` semantics).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..solver.constraints import (
+    BendTwistBatch,
+    ConstraintSet,
+    DihedralBatch,
+    DistanceBatch,
+    FEMTetraBatch,
+    IsometricBendingBatch,
+    StretchShearBatch,
+    VolumeBatch,
+)
+from ..solver.state import OrientationState, ParticleState, SimState
+from .mesh import TetMesh, TriangleMesh
+
+
+def regular_triangle_grid(width: int, height: int, translation=(0, 0, 0),
+                          rotation: Optional[np.ndarray] = None,
+                          scale=(1.0, 1.0)) -> Tuple[np.ndarray, np.ndarray]:
+    """Regular cloth grid: points + alternating-diagonal triangulation,
+    vertex order ``i*width + j`` with local coords (x=j·dx, y=i·dy, 0) —
+    behavioral twin of ``SimulationModel::addRegularTriangleModel``
+    (``SimulationModel.cpp:831-903``). Returns ``(points (W·H, 3),
+    faces (2(W−1)(H−1), 3))``."""
+    dy = scale[1] / (height - 1)
+    dx = scale[0] / (width - 1)
+    jj, ii = np.meshgrid(np.arange(width), np.arange(height))
+    pts = np.stack(
+        [jj * dx, ii * dy, np.zeros_like(ii, np.float64)], axis=-1
+    ).reshape(-1, 3)
+    if rotation is not None:
+        pts = pts @ np.asarray(rotation, np.float64).T
+    pts = pts + np.asarray(translation, np.float64)
+
+    # vectorized alternating-diagonal triangulation (helper parity pattern)
+    i, j = np.meshgrid(np.arange(height - 1), np.arange(width - 1),
+                       indexing="ij")
+    i, j = i.ravel(), j.ravel()
+    helper = (i % 2 == j % 2).astype(np.int32)
+    t1 = np.stack([i * width + j, i * width + j + 1,
+                   (i + 1) * width + j + helper], axis=1)
+    t2 = np.stack([(i + 1) * width + j + 1, (i + 1) * width + j,
+                   i * width + j + 1 - helper], axis=1)
+    faces = np.stack([t1, t2], axis=1).reshape(-1, 3)
+    return pts.astype(np.float32), faces.astype(np.int32)
+
+
+def regular_tet_grid(width: int, height: int, depth: int, translation=(0, 0, 0),
+                     rotation: Optional[np.ndarray] = None,
+                     scale=(1.0, 1.0, 1.0)) -> Tuple[np.ndarray, np.ndarray]:
+    """Regular hex grid split into 5 tets per cell with parity flip so
+    neighboring cells share faces — behavioral twin of
+    ``SimulationModel::addRegularTetModel`` (``SimulationModel.cpp:921-1005``).
+    Vertex order ``i*H*D + j*D + k``; the grid is centered at
+    ``translation`` (reference subtracts scale/2)."""
+    dx = scale[0] / (width - 1)
+    dy = scale[1] / (height - 1)
+    dz = scale[2] / (depth - 1)
+    pts = np.zeros((width, height, depth, 3), np.float64)
+    pts[..., 0] = np.arange(width)[:, None, None] * dx
+    pts[..., 1] = np.arange(height)[None, :, None] * dy
+    pts[..., 2] = np.arange(depth)[None, None, :] * dz
+    pts = pts.reshape(-1, 3)
+    if rotation is not None:
+        pts = pts @ np.asarray(rotation, np.float64).T
+    pts = pts + np.asarray(translation, np.float64) - 0.5 * np.asarray(scale, np.float64)
+
+    hd = height * depth
+    i, j, k = np.meshgrid(np.arange(width - 1), np.arange(height - 1),
+                          np.arange(depth - 1), indexing="ij")
+    i, j, k = i.ravel(), j.ravel(), k.ravel()
+    p0 = i * hd + j * depth + k
+    p1 = p0 + 1
+    p3 = (i + 1) * hd + j * depth + k
+    p2 = p3 + 1
+    p7 = (i + 1) * hd + (j + 1) * depth + k
+    p6 = p7 + 1
+    p4 = i * hd + (j + 1) * depth + k
+    p5 = p4 + 1
+    odd = ((i + j + k) % 2 == 1)
+    tets_odd = np.stack([
+        np.stack([p2, p1, p6, p3], 1), np.stack([p6, p3, p4, p7], 1),
+        np.stack([p4, p1, p6, p5], 1), np.stack([p3, p1, p4, p0], 1),
+        np.stack([p6, p1, p4, p3], 1)], axis=1)          # (cells, 5, 4)
+    tets_even = np.stack([
+        np.stack([p0, p2, p5, p1], 1), np.stack([p7, p2, p0, p3], 1),
+        np.stack([p5, p2, p7, p6], 1), np.stack([p7, p0, p5, p4], 1),
+        np.stack([p0, p2, p7, p5], 1)], axis=1)
+    tets = np.where(odd[:, None, None], tets_odd, tets_even).reshape(-1, 4)
+    return pts.astype(np.float32), tets.astype(np.int32)
+
+
+@dataclass
+class TriModelHandle:
+    offset: int
+    mesh: TriangleMesh
+
+
+@dataclass
+class TetModelHandle:
+    offset: int
+    mesh: TetMesh
+
+
+@dataclass
+class LineModelHandle:
+    offset: int          # particle offset
+    offset_q: int        # orientation offset
+    n_points: int
+    n_quaternions: int
+
+
+def _chunk2(i, j):
+    return np.stack([np.atleast_1d(np.asarray(i, np.int32)),
+                     np.atleast_1d(np.asarray(j, np.int32))], axis=1)
+
+
+def _bc(v, n):
+    return np.broadcast_to(np.asarray(v, np.float32), (n,)).copy()
+
+
+@dataclass
+class SceneBuilder:
+    """Accumulates a scene, then freezes it to device arrays.
+
+    Usage mirrors the pyPBD canonical flow (``pyPBD/examples/cloth_model.py``):
+    ``add_regular_triangle_model`` → ``set_mass(pin, 0)`` →
+    ``add_cloth_constraints`` → ``add_bending_constraints`` → ``build()``.
+    """
+
+    _x: List[np.ndarray] = field(default_factory=list)
+    _mass: List[np.ndarray] = field(default_factory=list)
+    _q: List[np.ndarray] = field(default_factory=list)
+    _mass_q: List[np.ndarray] = field(default_factory=list)
+    _n: int = 0
+    _n_q: int = 0
+    _mass_overrides: dict = field(default_factory=dict)
+    _mass_q_overrides: dict = field(default_factory=dict)
+
+    # constraint chunk accumulators: lists of (idx array, param arrays...)
+    _distance: list = field(default_factory=list)       # (idx, k, xpbd)
+    _dihedral: list = field(default_factory=list)       # (idx, k)
+    _iso_bending: list = field(default_factory=list)    # (idx, k, xpbd)
+    _volume: list = field(default_factory=list)         # (idx, k, xpbd)
+    _fem_tet: list = field(default_factory=list)        # (idx, E, nu)
+    _stretch_shear: list = field(default_factory=list)  # (idx_p, idx_q, ks3)
+    _bend_twist: list = field(default_factory=list)     # (idx_q, ks3)
+
+    # ---- particles -------------------------------------------------------
+
+    @property
+    def n_particles(self) -> int:
+        return self._n
+
+    def add_particles(self, x, mass=1.0) -> int:
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        offset = self._n
+        self._x.append(x)
+        self._mass.append(_bc(mass, x.shape[0]))
+        self._n += x.shape[0]
+        return offset
+
+    def set_mass(self, i: int, mass: float):
+        self._mass_overrides[int(i)] = float(mass)
+
+    def add_quaternions(self, q, mass=1.0) -> int:
+        q = np.atleast_2d(np.asarray(q, np.float32))
+        offset = self._n_q
+        self._q.append(q)
+        self._mass_q.append(_bc(mass, q.shape[0]))
+        self._n_q += q.shape[0]
+        return offset
+
+    def set_quaternion_mass(self, i: int, mass: float):
+        self._mass_q_overrides[int(i)] = float(mass)
+
+    # ---- models ----------------------------------------------------------
+
+    def add_regular_triangle_model(self, width, height, translation=(0, 0, 0),
+                                   rotation=None, scale=(1.0, 1.0)) -> TriModelHandle:
+        pts, faces = regular_triangle_grid(width, height, translation, rotation, scale)
+        offset = self.add_particles(pts, 1.0)
+        return TriModelHandle(offset, TriangleMesh(len(pts), faces))
+
+    def add_triangle_model(self, points, faces, mass=1.0) -> TriModelHandle:
+        points = np.asarray(points, np.float32)
+        offset = self.add_particles(points, mass)
+        return TriModelHandle(offset, TriangleMesh(len(points), faces))
+
+    def add_regular_tet_model(self, width, height, depth, translation=(0, 0, 0),
+                              rotation=None, scale=(1.0, 1.0, 1.0)) -> TetModelHandle:
+        pts, tets = regular_tet_grid(width, height, depth, translation, rotation, scale)
+        offset = self.add_particles(pts, 1.0)
+        return TetModelHandle(offset, TetMesh(len(pts), tets))
+
+    def add_tet_model(self, points, tets, mass=1.0) -> TetModelHandle:
+        points = np.asarray(points, np.float32)
+        offset = self.add_particles(points, mass)
+        return TetModelHandle(offset, TetMesh(len(points), tets))
+
+    def add_line_model(self, points, quaternions=None, mass=1.0,
+                       mass_q=1.0) -> LineModelHandle:
+        """Rod of ``n`` particles joined by ``n−1`` orientation quaternions
+        (``SimulationModel::addLineModel``, ``SimulationModel.cpp:1007-1031``).
+        When ``quaternions`` is None, frames are built so d3 points along
+        each segment (the demo does this via ``Quaternionr::FromTwoVectors``,
+        ``Demos/CosseratRodsDemo/main.cpp``)."""
+        points = np.asarray(points, np.float32)
+        n = len(points)
+        offset = self.add_particles(points, mass)
+        if quaternions is None:
+            d = points[1:] - points[:-1]
+            d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            e3 = np.array([0.0, 0.0, 1.0])
+            v = np.cross(np.broadcast_to(e3, d.shape), d)
+            c = d[:, 2]
+            quaternions = np.concatenate([(1.0 + c)[:, None], v], axis=1)
+            # antipodal segments (d ≈ −e3): rotate about x by π
+            flip = c < -1.0 + 1e-9
+            quaternions[flip] = np.array([0.0, 1.0, 0.0, 0.0])
+            quaternions = quaternions / np.linalg.norm(
+                quaternions, axis=-1, keepdims=True)
+        quaternions = np.asarray(quaternions, np.float32).reshape(-1, 4)
+        offset_q = self.add_quaternions(quaternions, mass_q)
+        return LineModelHandle(offset, offset_q, n, len(quaternions))
+
+    # ---- low-level constraint adders (SimulationModel.h:186-249) ---------
+    # Scalar and bulk (array) forms share the same chunk accumulators.
+
+    def add_distance_constraint(self, i, j, stiffness=1.0, xpbd=False):
+        idx = _chunk2(i, j)
+        self._distance.append((idx, _bc(stiffness, len(idx)), bool(xpbd)))
+
+    def add_dihedral_constraint(self, p0, p1, p2, p3, stiffness=1.0):
+        idx = np.atleast_2d(np.asarray([p0, p1, p2, p3], np.int32).T
+                            if np.ndim(p0) else
+                            np.asarray([[p0, p1, p2, p3]], np.int32))
+        self._dihedral.append((idx, _bc(stiffness, len(idx))))
+
+    def add_isometric_bending_constraint(self, p0, p1, p2, p3, stiffness=1.0,
+                                         xpbd=False):
+        idx = np.asarray([[p0, p1, p2, p3]], np.int32)
+        self._iso_bending.append((idx, _bc(stiffness, 1), bool(xpbd)))
+
+    def add_volume_constraint(self, p0, p1, p2, p3, stiffness=1.0, xpbd=False):
+        idx = np.asarray([[p0, p1, p2, p3]], np.int32)
+        self._volume.append((idx, _bc(stiffness, 1), bool(xpbd)))
+
+    def add_fem_tet_constraint(self, p0, p1, p2, p3, youngs=1.0, poisson=0.3):
+        idx = np.asarray([[p0, p1, p2, p3]], np.int32)
+        self._fem_tet.append((idx, _bc(youngs, 1), _bc(poisson, 1)))
+
+    def add_stretch_shear_constraint(self, i, j, qi, stiffness=(1.0, 1.0, 1.0)):
+        ks = np.broadcast_to(np.asarray(stiffness, np.float32), (1, 3)).copy()
+        self._stretch_shear.append(
+            (_chunk2(i, j), np.atleast_1d(np.asarray(qi, np.int32)), ks))
+
+    def add_bend_twist_constraint(self, qi, qj, stiffness=(0.5, 0.5, 0.5)):
+        ks = np.broadcast_to(np.asarray(stiffness, np.float32), (1, 3)).copy()
+        self._bend_twist.append((_chunk2(qi, qj), ks))
+
+    # ---- high-level builders (SimulationModel.cpp:1125-1320) -------------
+
+    def add_cloth_constraints(self, tm: TriModelHandle, method: int = 4,
+                              distance_stiffness: float = 1.0):
+        """Cloth method 1 = classic distance per edge, 4 = XPBD distance per
+        edge (``addClothConstraints``, ``SimulationModel.cpp:1125-1184``).
+        (Methods 2/3 — FEM/strain triangle — land with those kernels.)"""
+        if method not in (1, 4):
+            raise NotImplementedError(f"cloth method {method} not yet available")
+        idx = tm.mesh.edges + tm.offset
+        self._distance.append(
+            (idx.astype(np.int32), _bc(distance_stiffness, len(idx)),
+             method == 4))
+
+    def add_bending_constraints(self, tm: TriModelHandle, method: int = 2,
+                                stiffness: float = 0.01):
+        """1 = dihedral, 2 = isometric, 3 = XPBD isometric
+        (``addBendingConstraints``, ``SimulationModel.cpp:1186-1240``)."""
+        if method not in (1, 2, 3):
+            return
+        idx = (tm.mesh.bending_stencils() + tm.offset).astype(np.int32)
+        if method == 1:
+            self._dihedral.append((idx, _bc(stiffness, len(idx))))
+        else:
+            self._iso_bending.append(
+                (idx, _bc(stiffness, len(idx)), method == 3))
+
+    def add_solid_constraints(self, tm: TetModelHandle, method: int = 3,
+                              stiffness: float = 1.0, poisson_ratio: float = 0.3,
+                              volume_stiffness: float = 1.0):
+        """1 = distance+volume, 3 = XPBD FEM, 5 = XPBD distance+volume,
+        6 = XPBD FEM + XPBD volume (``addSolidConstraints``,
+        ``SimulationModel.cpp:1242-1320``). Methods 2 (classic FEM) and 4
+        (shape matching) land with those kernels."""
+        tets = (tm.mesh.tets + tm.offset).astype(np.int32)
+        if method in (1, 5):
+            xpbd = method == 5
+            edges = (tm.mesh.edges + tm.offset).astype(np.int32)
+            self._distance.append((edges, _bc(stiffness, len(edges)), xpbd))
+            self._volume.append((tets, _bc(volume_stiffness, len(tets)), xpbd))
+        elif method == 3:
+            self._fem_tet.append((tets, _bc(stiffness, len(tets)),
+                                  _bc(poisson_ratio, len(tets))))
+        elif method == 6:
+            self._fem_tet.append((tets, _bc(stiffness, len(tets)),
+                                  _bc(poisson_ratio, len(tets))))
+            self._volume.append((tets, _bc(volume_stiffness, len(tets)), True))
+        else:
+            raise NotImplementedError(f"solid method {method} not yet available")
+
+    def add_rod_constraints(self, lm: LineModelHandle,
+                            stretch_stiffness=(1.0, 1.0, 1.0),
+                            bend_twist_stiffness=(0.5, 0.5, 0.5)):
+        """Stretch-shear per segment + bend-twist per frame pair, as in
+        ``CosseratRodsDemo/main.cpp`` (``main.cpp:225-273``)."""
+        n_seg = lm.n_points - 1
+        seg = np.arange(n_seg, dtype=np.int32)
+        idx_p = np.stack([lm.offset + seg, lm.offset + seg + 1], axis=1)
+        idx_q = lm.offset_q + seg
+        ks = np.broadcast_to(np.asarray(stretch_stiffness, np.float32),
+                             (n_seg, 3)).copy()
+        self._stretch_shear.append((idx_p, idx_q, ks))
+        n_bt = lm.n_quaternions - 1
+        if n_bt > 0:
+            bt = np.arange(n_bt, dtype=np.int32)
+            idx_bt = np.stack([lm.offset_q + bt, lm.offset_q + bt + 1], axis=1)
+            ksb = np.broadcast_to(np.asarray(bend_twist_stiffness, np.float32),
+                                  (n_bt, 3)).copy()
+            self._bend_twist.append((idx_bt, ksb))
+
+    # ---- freeze ----------------------------------------------------------
+
+    def _masses(self) -> np.ndarray:
+        m = np.concatenate(self._mass) if self._mass else np.zeros((0,), np.float32)
+        for i, v in self._mass_overrides.items():
+            m[i] = v
+        return m
+
+    def build(self) -> Tuple[SimState, ConstraintSet]:
+        x = (np.concatenate(self._x, axis=0)
+             if self._x else np.zeros((0, 3), np.float32))
+        particles = ParticleState.create(x, self._masses())
+
+        orientations = None
+        q0 = None
+        if self._q:
+            q0 = np.concatenate(self._q, axis=0)
+            mq = np.concatenate(self._mass_q)
+            for i, v in self._mass_q_overrides.items():
+                mq[i] = v
+            orientations = OrientationState.create(q0, mq)
+
+        kw = {}
+        if self._distance:
+            xpbd_flags = {c[2] for c in self._distance}
+            if len(xpbd_flags) > 1:
+                raise ValueError("mixed XPBD/classic distance constraints in "
+                                 "one scene are not supported yet")
+            idx = np.concatenate([c[0] for c in self._distance])
+            rest = np.linalg.norm(x[idx[:, 0]] - x[idx[:, 1]], axis=-1)
+            kw["distance"] = DistanceBatch.create(
+                idx, rest, np.concatenate([c[1] for c in self._distance]),
+                xpbd_mode=xpbd_flags.pop())
+        if self._dihedral:
+            kw["dihedral"] = DihedralBatch.create(
+                np.concatenate([c[0] for c in self._dihedral]), x,
+                np.concatenate([c[1] for c in self._dihedral]))
+        if self._iso_bending:
+            xpbd_flags = {c[2] for c in self._iso_bending}
+            if len(xpbd_flags) > 1:
+                raise ValueError("mixed XPBD/classic bending in one scene")
+            kw["isometric_bending"] = IsometricBendingBatch.create(
+                np.concatenate([c[0] for c in self._iso_bending]), x,
+                np.concatenate([c[1] for c in self._iso_bending]),
+                xpbd_mode=xpbd_flags.pop())
+        if self._volume:
+            xpbd_flags = {c[2] for c in self._volume}
+            if len(xpbd_flags) > 1:
+                raise ValueError("mixed XPBD/classic volume in one scene")
+            kw["volume"] = VolumeBatch.create(
+                np.concatenate([c[0] for c in self._volume]), x,
+                np.concatenate([c[1] for c in self._volume]),
+                xpbd_mode=xpbd_flags.pop())
+        if self._fem_tet:
+            kw["fem_tetra"] = FEMTetraBatch.create(
+                np.concatenate([c[0] for c in self._fem_tet]), x,
+                np.concatenate([c[1] for c in self._fem_tet]),
+                np.concatenate([c[2] for c in self._fem_tet]))
+        if self._stretch_shear:
+            idx_p = np.concatenate([c[0] for c in self._stretch_shear])
+            idx_q = np.concatenate([c[1] for c in self._stretch_shear])
+            rest = np.linalg.norm(x[idx_p[:, 0]] - x[idx_p[:, 1]], axis=-1)
+            kw["stretch_shear"] = StretchShearBatch.create(
+                idx_p, idx_q, rest,
+                np.concatenate([c[2] for c in self._stretch_shear]))
+        if self._bend_twist:
+            kw["bend_twist"] = BendTwistBatch.create(
+                np.concatenate([c[0] for c in self._bend_twist]), q0,
+                np.concatenate([c[1] for c in self._bend_twist]))
+
+        return SimState.create(particles, orientations), ConstraintSet(**kw)
