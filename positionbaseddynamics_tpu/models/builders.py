@@ -24,7 +24,10 @@ from ..solver.constraints import (
     StretchShearBatch,
     VolumeBatch,
 )
-from ..solver.state import OrientationState, ParticleState, SimState
+from ..solver.joints import make_joint_batch
+from ..solver.state import (
+    OrientationState, ParticleState, RigidState, SimState,
+)
 from .mesh import TetMesh, TriangleMesh
 
 
@@ -151,6 +154,16 @@ class SceneBuilder:
     _mass_overrides: dict = field(default_factory=dict)
     _mass_q_overrides: dict = field(default_factory=dict)
 
+    # rigid bodies (SoA host lists)
+    _rb_x: list = field(default_factory=list)
+    _rb_q: list = field(default_factory=list)
+    _rb_v: list = field(default_factory=list)
+    _rb_omega: list = field(default_factory=list)
+    _rb_mass: list = field(default_factory=list)
+    _rb_inertia: list = field(default_factory=list)
+    # joints: list of dicts {kind, bodies (2,), params...}
+    _joints: list = field(default_factory=list)
+
     # constraint chunk accumulators: lists of (idx array, param arrays...)
     _distance: list = field(default_factory=list)       # (idx, k, xpbd)
     _dihedral: list = field(default_factory=list)       # (idx, k)
@@ -237,6 +250,113 @@ class SceneBuilder:
         quaternions = np.asarray(quaternions, np.float32).reshape(-1, 4)
         offset_q = self.add_quaternions(quaternions, mass_q)
         return LineModelHandle(offset, offset_q, n, len(quaternions))
+
+    # ---- rigid bodies & joints (SimulationModel.h:186-249) ---------------
+
+    @property
+    def n_rigid_bodies(self) -> int:
+        return len(self._rb_x)
+
+    def add_rigid_body(self, x, q=(1.0, 0.0, 0.0, 0.0), mass=1.0,
+                       inertia=(1.0, 1.0, 1.0), velocity=(0.0, 0.0, 0.0),
+                       omega=(0.0, 0.0, 0.0)) -> int:
+        """Add one rigid body (``RigidBody::initBody`` with explicit mass &
+        body-frame diagonal inertia, ``Simulation/RigidBody.h:87-151``).
+        ``mass == 0`` makes the body static. Returns the body index."""
+        self._rb_x.append(np.asarray(x, np.float64))
+        qn = np.asarray(q, np.float64)
+        self._rb_q.append(qn / max(np.linalg.norm(qn), 1e-300))
+        self._rb_v.append(np.asarray(velocity, np.float64))
+        self._rb_omega.append(np.asarray(omega, np.float64))
+        self._rb_mass.append(float(mass))
+        self._rb_inertia.append(np.asarray(inertia, np.float64))
+        return len(self._rb_x) - 1
+
+    def _add_joint(self, kind, rb0, rb1, **params):
+        self._joints.append(dict(kind=kind, bodies=(int(rb0), int(rb1)),
+                                 **params))
+
+    def add_ball_joint(self, rb0, rb1, pos):
+        self._add_joint("ball", rb0, rb1, positions=np.asarray(pos, np.float64))
+
+    def add_ball_on_line_joint(self, rb0, rb1, pos, direction):
+        self._add_joint("ball_on_line", rb0, rb1,
+                        positions=np.asarray(pos, np.float64),
+                        directions=np.asarray(direction, np.float64))
+
+    def add_hinge_joint(self, rb0, rb1, pos, axis):
+        self._add_joint("hinge", rb0, rb1,
+                        positions=np.asarray(pos, np.float64),
+                        directions=np.asarray(axis, np.float64))
+
+    def add_universal_joint(self, rb0, rb1, pos, axis0, axis1):
+        self._add_joint("universal", rb0, rb1,
+                        positions=np.asarray(pos, np.float64),
+                        directions=np.asarray(axis0, np.float64),
+                        directions1=np.asarray(axis1, np.float64))
+
+    def add_slider_joint(self, rb0, rb1, axis):
+        self._add_joint("slider", rb0, rb1,
+                        directions=np.asarray(axis, np.float64))
+
+    def add_target_position_motor_slider_joint(self, rb0, rb1, axis,
+                                               target=0.0, sequence=None,
+                                               repeat=False):
+        """``sequence`` is the reference's flat [t0,v0,t1,v1,…] motor target
+        sequence (``MotorJoint::setTargetSequence``)."""
+        self._add_joint("target_position_motor_slider", rb0, rb1,
+                        directions=np.asarray(axis, np.float64),
+                        target=float(target), sequence=sequence,
+                        repeat=bool(repeat))
+
+    def add_target_velocity_motor_slider_joint(self, rb0, rb1, axis,
+                                               target=0.0, sequence=None,
+                                               repeat=False):
+        self._add_joint("target_velocity_motor_slider", rb0, rb1,
+                        directions=np.asarray(axis, np.float64),
+                        target=float(target), sequence=sequence,
+                        repeat=bool(repeat))
+
+    def add_target_angle_motor_hinge_joint(self, rb0, rb1, pos, axis,
+                                           target=0.0, sequence=None,
+                                           repeat=False):
+        self._add_joint("target_angle_motor_hinge", rb0, rb1,
+                        positions=np.asarray(pos, np.float64),
+                        directions=np.asarray(axis, np.float64),
+                        target=float(target), sequence=sequence,
+                        repeat=bool(repeat))
+
+    def add_target_velocity_motor_hinge_joint(self, rb0, rb1, pos, axis,
+                                              target=0.0, sequence=None,
+                                              repeat=False):
+        self._add_joint("target_velocity_motor_hinge", rb0, rb1,
+                        positions=np.asarray(pos, np.float64),
+                        directions=np.asarray(axis, np.float64),
+                        target=float(target), sequence=sequence,
+                        repeat=bool(repeat))
+
+    def add_damper_joint(self, rb0, rb1, axis, stiffness):
+        self._add_joint("damper", rb0, rb1,
+                        directions=np.asarray(axis, np.float64),
+                        stiffness=float(stiffness))
+
+    def add_rigid_distance_joint(self, rb0, rb1, pos0, pos1):
+        self._add_joint("distance", rb0, rb1,
+                        positions=np.asarray(pos0, np.float64),
+                        positions1=np.asarray(pos1, np.float64),
+                        stiffness=0.0)
+
+    def add_rigid_body_spring(self, rb0, rb1, pos0, pos1, stiffness):
+        """XPBD spring between two anchors (``RigidBodySpring``,
+        ``Simulation/Constraints.h`` — solve via ``solve_DistanceJoint``
+        with compliance)."""
+        self._add_joint("distance", rb0, rb1,
+                        positions=np.asarray(pos0, np.float64),
+                        positions1=np.asarray(pos1, np.float64),
+                        stiffness=float(stiffness))
+
+    def add_rigid_body_particle_ball_joint(self, rb, particle):
+        self._add_joint("rb_particle_ball", rb, particle)
 
     # ---- low-level constraint adders (SimulationModel.h:186-249) ---------
     # Scalar and bulk (array) forms share the same chunk accumulators.
@@ -351,6 +471,93 @@ class SceneBuilder:
             m[i] = v
         return m
 
+    def _build_rigid(self):
+        if not self._rb_x:
+            return None
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        rx = np.stack(self._rb_x)
+        rq = np.stack(self._rb_q)
+        state = RigidState.create(rx, rq, np.asarray(self._rb_mass),
+                                  np.stack(self._rb_inertia))
+        v = np.stack(self._rb_v)
+        om = np.stack(self._rb_omega)
+        if np.any(v) or np.any(om):
+            state = _dc.replace(
+                state, v=jnp.asarray(v, jnp.float32),
+                omega=jnp.asarray(om, jnp.float32))
+        return state
+
+    def _build_joints(self, x) -> Tuple:
+        """Group accumulated joints by kind into JointBatches. Graph-color
+        conflict ids treat static bodies as non-conflicting (a parallel
+        write never happens on them), mirroring the intent of
+        ``initConstraintGroups`` (``SimulationModel.cpp:1033-1094``)."""
+        if not self._joints:
+            return ()
+        rx = np.stack(self._rb_x)
+        rq = np.stack(self._rb_q)
+        masses = np.asarray(self._rb_mass)
+        n_rb = len(masses)
+        uid = n_rb + max(self._n, 1)
+        kinds: List[str] = []
+        for j in self._joints:
+            if j["kind"] not in kinds:
+                kinds.append(j["kind"])
+        batches = []
+        for kind in kinds:
+            js = [j for j in self._joints if j["kind"] == kind]
+            bodies = np.array([j["bodies"] for j in js], np.int32)
+            conflict = bodies.astype(np.int64).copy()
+            for r in range(len(js)):
+                if kind == "rb_particle_ball":
+                    conflict[r, 1] += n_rb
+                    cols = (0,)
+                else:
+                    cols = (0, 1)
+                for col in cols:
+                    if masses[bodies[r, col]] == 0.0:
+                        conflict[r, col] = uid
+                        uid += 1
+            kwargs = {}
+            for name in ("positions", "positions1", "directions",
+                         "directions1"):
+                if name in js[0]:
+                    kwargs[name] = np.stack([j[name] for j in js])
+            if "stiffness" in js[0]:
+                kwargs["stiffness"] = np.array(
+                    [j["stiffness"] for j in js], np.float64)
+            if "target" in js[0]:
+                kwargs["target"] = np.array(
+                    [j["target"] for j in js], np.float64)
+                seqs = [j.get("sequence") for j in js]
+                if any(s is not None for s in seqs):
+                    ts, vs = [], []
+                    for s, j in zip(seqs, js):
+                        if s is None:
+                            ts.append(np.zeros((1,)))
+                            vs.append(np.full((1,), j["target"]))
+                        else:
+                            arr = np.asarray(s, np.float64).reshape(-1, 2)
+                            ts.append(arr[:, 0])
+                            vs.append(arr[:, 1])
+                    smax = max(len(t) for t in ts)
+                    kwargs["seq_times"] = np.stack(
+                        [np.pad(t, (0, smax - len(t)), mode="edge")
+                         for t in ts])
+                    kwargs["seq_values"] = np.stack(
+                        [np.pad(v, (0, smax - len(v)), mode="edge")
+                         for v in vs])
+                    kwargs["seq_repeat"] = np.array(
+                        [bool(j.get("repeat", False)) for j in js])
+            if kind == "rb_particle_ball":
+                kwargs["particle_x"] = x
+            batches.append(
+                make_joint_batch(kind, bodies, conflict, rx, rq, **kwargs))
+        return tuple(batches)
+
     def build(self) -> Tuple[SimState, ConstraintSet]:
         x = (np.concatenate(self._x, axis=0)
              if self._x else np.zeros((0, 3), np.float32))
@@ -413,4 +620,7 @@ class SceneBuilder:
                 np.concatenate([c[0] for c in self._bend_twist]), q0,
                 np.concatenate([c[1] for c in self._bend_twist]))
 
-        return SimState.create(particles, orientations), ConstraintSet(**kw)
+        rigid = self._build_rigid()
+        kw["joints"] = self._build_joints(x)
+        return (SimState.create(particles, orientations, rigid),
+                ConstraintSet(**kw))

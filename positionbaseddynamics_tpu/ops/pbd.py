@@ -108,6 +108,189 @@ def solve_isometric_bending(p0, w0, p1, w1, p2, w2, p3, w3, q_mat, stiffness):
     )
 
 
+def solve_fem_triangle(p0, w0, p1, w1, p2, w2, area, inv_rest_mat,
+                       youngs_x, youngs_y, youngs_shear,
+                       poisson_xy, poisson_yx):
+    """Orthotropic FEM triangle: St. Venant–Kirchhoff membrane energy with a
+    2D rest configuration (``solve_FEMTriangleConstraint``,
+    ``PositionBasedDynamics.cpp:843-931``). ``inv_rest_mat`` is the 2×2
+    inverse of the projected rest edge matrix (``init_FEMTriangleConstraint``
+    ``:806-840``). Returns ``corr (3,3)``."""
+    denom = 1.0 - poisson_xy * poisson_yx
+    c00 = youngs_x * safe_inv(denom)
+    c01 = youngs_x * poisson_yx * safe_inv(denom)
+    c11 = youngs_y * safe_inv(denom)
+    c10 = youngs_y * poisson_xy * safe_inv(denom)
+    c22 = youngs_shear
+
+    # F (3,2) = [p0−p2 | p1−p2] · invRestMat
+    dm = jnp.stack([p0 - p2, p1 - p2], axis=1)  # (3,2)
+    f = dm @ inv_rest_mat
+
+    # Green strain ε = ½(FᵀF − I₂)
+    ftf = f.T @ f
+    e00 = 0.5 * (ftf[0, 0] - 1.0)
+    e11 = 0.5 * (ftf[1, 1] - 1.0)
+    e01 = 0.5 * ftf[0, 1]
+
+    s00 = c00 * e00 + c01 * e11
+    s11 = c10 * e00 + c11 * e11
+    s01 = c22 * e01
+    stress = jnp.array([[s00, s01], [s01, s11]])
+
+    pk = f @ stress
+    psi = 0.5 * (e00 * s00 + e11 * s11 + 2.0 * e01 * s01)
+    energy = area * psi
+
+    h = area * pk @ inv_rest_mat.T          # (3,2)
+    grad0 = h[:, 0]
+    grad1 = h[:, 1]
+    grad2 = -grad0 - grad1
+
+    denom_g = (w0 * jnp.dot(grad0, grad0) + w1 * jnp.dot(grad1, grad1)
+               + w2 * jnp.dot(grad2, grad2))
+    valid = jnp.abs(denom_g) > EPS
+    s = jnp.where(valid, energy * safe_inv(denom_g), 0.0)
+    return jnp.stack([-s * w0 * grad0, -s * w1 * grad1, -s * w2 * grad2])
+
+
+def _strain_pass(ps, corr, ws, inv_rest, i, j, stretch_k, shear_k,
+                 normalize_stretch, normalize_shear):
+    """One (i, j) sub-constraint of the strain-based-dynamics solve with
+    in-kernel Gauss-Seidel accumulation over the pairs, mirroring the loop
+    bodies of ``solve_StrainTriangleConstraint`` / ``solve_StrainTetraConstraint``
+    (``PositionBasedDynamics.cpp:590-688, 711-805``)."""
+    dim = len(ps) - 1
+    cols = [(ps[k + 1] + corr[k + 1]) - (ps[0] + corr[0]) for k in range(dim)]
+    p_mat = jnp.stack(cols, axis=1)       # (3, dim)
+    fi = p_mat @ inv_rest[:, i]
+    fj = p_mat @ inv_rest[:, j]
+    sij = jnp.dot(fi, fj)
+
+    ds = [fj * inv_rest[k, i] + fi * inv_rest[k, j] for k in range(dim)]
+    if normalize_shear and i != j:
+        wi2 = jnp.dot(fi, fi)
+        wj2 = jnp.dot(fj, fj)
+        wi = jnp.sqrt(jnp.maximum(wi2, 1e-24))
+        wj = jnp.sqrt(jnp.maximum(wj2, 1e-24))
+        s1 = safe_inv(wi * wj)
+        s3 = s1 * s1 * s1
+        ds = [s1 * dk - sij * s3 * (wj2 * fi * inv_rest[k, i]
+                                    + wi2 * fj * inv_rest[k, j])
+              for k, dk in enumerate(ds)]
+        sij = sij * s1
+    d0 = -ds[0]
+    for dk in ds[1:]:
+        d0 = d0 - dk
+    dall = [d0] + ds
+
+    denom = ws[0] * jnp.dot(d0, d0)
+    for k in range(dim):
+        denom = denom + ws[k + 1] * jnp.dot(ds[k], ds[k])
+
+    if i == j:
+        if normalize_stretch:
+            s = jnp.sqrt(jnp.maximum(sij, 0.0))
+            lam = 2.0 * s * (s - 1.0) * safe_inv(denom) * stretch_k[i]
+        else:
+            lam = (sij - 1.0) * safe_inv(denom) * stretch_k[i]
+    else:
+        lam = sij * safe_inv(denom) * shear_k[i + j - 1]
+    lam = jnp.where(jnp.abs(denom) < EPS, 0.0, lam)
+    return [c - lam * w * d for c, w, d in zip(corr, ws, dall)]
+
+
+def solve_strain_triangle(p0, w0, p1, w1, p2, w2, inv_rest_mat,
+                          stretch_k, shear_k,
+                          normalize_stretch=False, normalize_shear=False):
+    """Strain-based dynamics triangle (Müller et al. 2014): three
+    sub-constraints S00, S10, S11 with internal Gauss-Seidel accumulation
+    (``solve_StrainTriangleConstraint``, ``PositionBasedDynamics.cpp:590-688``).
+    ``stretch_k (2,)`` = (xx, yy), ``shear_k (1,)`` = (xy,).
+    Returns ``corr (3,3)``."""
+    ps = [p0, p1, p2]
+    ws = [w0, w1, w2]
+    corr = [jnp.zeros(3, p0.dtype) for _ in range(3)]
+    for i in range(2):
+        for j in range(i + 1):
+            corr = _strain_pass(ps, corr, ws, inv_rest_mat, i, j,
+                                stretch_k, shear_k,
+                                normalize_stretch, normalize_shear)
+    return jnp.stack(corr)
+
+
+def solve_strain_tetra(p0, w0, p1, w1, p2, w2, p3, w3, inv_rest_mat,
+                       stretch_k, shear_k,
+                       normalize_stretch=False, normalize_shear=False):
+    """Strain-based dynamics tetrahedron: six sub-constraints Sij
+    (``solve_StrainTetraConstraint``, ``PositionBasedDynamics.cpp:711-805``).
+    ``stretch_k (3,)``, ``shear_k (3,)``. Returns ``corr (4,3)``."""
+    ps = [p0, p1, p2, p3]
+    ws = [w0, w1, w2, w3]
+    corr = [jnp.zeros(3, p0.dtype) for _ in range(4)]
+    for i in range(3):
+        for j in range(i + 1):
+            corr = _strain_pass(ps, corr, ws, inv_rest_mat, i, j,
+                                stretch_k, shear_k,
+                                normalize_stretch, normalize_shear)
+    return jnp.stack(corr)
+
+
+def solve_fem_tetra_classic(p0, w0, p1, w1, p2, w2, p3, w3,
+                            rest_volume, inv_rest_mat, youngs, poisson,
+                            handle_inversion=True):
+    """Classic (non-XPBD) FEM tet: one Newton step on the StVK energy with
+    Young's modulus folded into the Lamé parameters
+    (``solve_FEMTetraConstraint``, ``PositionBasedDynamics.cpp:1109-1170``).
+    Returns ``corr (4,3)``."""
+    from . import xpbd as _xpbd
+
+    mu = youngs * 0.5 * safe_inv(1.0 + poisson)
+    lame = youngs * poisson * safe_inv(
+        (1.0 + poisson) * (1.0 - 2.0 * poisson))
+    volume = jnp.dot(jnp.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
+
+    if handle_inversion:
+        u_reg, sig_reg, _ = _xpbd.green_strain_energy(
+            p0, p1, p2, p3, inv_rest_mat, rest_volume, mu, lame)
+        u_inv, sig_inv, _ = _xpbd.green_strain_energy_inversion(
+            p0, p1, p2, p3, inv_rest_mat, rest_volume, mu, lame)
+        inverted = volume <= 0.0
+        energy = jnp.where(inverted, u_inv, u_reg)
+        sigma = jnp.where(inverted, sig_inv, sig_reg)
+    else:
+        energy, sigma, _ = _xpbd.green_strain_energy(
+            p0, p1, p2, p3, inv_rest_mat, rest_volume, mu, lame)
+
+    grad = _xpbd.grad_c_green(rest_volume, inv_rest_mat, sigma)
+    ws = jnp.stack([w0, w1, w2, w3])
+    denom = jnp.sum(ws * jnp.sum(grad * grad, axis=-1))
+    valid = (denom >= EPS) & (youngs > 0.0)
+    s = jnp.where(valid, energy * safe_inv(denom), 0.0)
+    return -s * ws[:, None] * grad
+
+
+def solve_shape_matching_cluster(x, x0, w, rest_cm, stiffness, mask):
+    """Stateless cluster shape matching via stable polar decomposition —
+    the exact formulation of ``solve_ShapeMatchingConstraint``
+    (``PositionBasedDynamics.cpp:481-558``): masses ``m = 1/(w + eps)`` (so
+    pinned particles act as very heavy anchors), goal ``g = cm + R(x0−cm0)``,
+    correction ``(g − x)·k``. ``mask (K,)`` deactivates padded cluster
+    slots. Returns ``corr (K,3)``."""
+    from .mathutils import polar_decomposition
+
+    m = mask / (w + EPS)
+    m_total = jnp.sum(m)
+    cm = jnp.sum(m[:, None] * x, axis=0) * safe_inv(m_total)
+
+    p = x - cm
+    q0c = x0 - rest_cm
+    a_pq = jnp.einsum("k,ki,kj->ij", m, p, q0c)
+    r, _ = polar_decomposition(a_pq)
+    goal = cm[None, :] + q0c @ r.T
+    return mask[:, None] * stiffness * (goal - x)
+
+
 def solve_shape_matching(x, x0, w, rest_cm, inv_rest_mat_unused, stiffness, q_prev):
     """Cluster shape matching via rotation extraction (Müller et al.):
     goal positions ``g = R (x0 − cm0) + cm`` applied with stiffness.

@@ -480,7 +480,9 @@ class ConstraintSet:
     """All constraint batches of a scene, solved in a fixed family order per
     iteration (the batched analogue of the reference's constraint list;
     family order mirrors typical ``SimulationModel`` insertion order:
-    structural before bending, cf. ``SimulationModel.cpp:1125-1240``)."""
+    structural before bending, cf. ``SimulationModel.cpp:1125-1240``).
+    ``joints`` holds the rigid-body joint batches (``solver/joints.py``),
+    one per joint kind, solved after the particle/rod families."""
 
     distance: Optional[DistanceBatch] = None
     fem_tetra: Optional[FEMTetraBatch] = None
@@ -489,6 +491,7 @@ class ConstraintSet:
     isometric_bending: Optional[IsometricBendingBatch] = None
     stretch_shear: Optional[StretchShearBatch] = None
     bend_twist: Optional[BendTwistBatch] = None
+    joints: Tuple = ()
 
     def particle_batches(self):
         return [

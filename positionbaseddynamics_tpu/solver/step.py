@@ -2,16 +2,19 @@
 ``TimeStepController::step`` (``Simulation/TimeStepController.cpp:75-241``).
 
 Semantics preserved per SURVEY §3.1: per sim step, substep loop of
-{integrate → position-constraint projection → velocity reconstruction},
-then (once per step, not per substep) collision detection + velocity
-constraint projection. Everything is one jitted pure function over the
+{integrate (rigid bodies + particles + orientations) → position-constraint
+projection → velocity reconstruction}, then — once per step, not per
+substep — collision detection and velocity-constraint projection
+(motor joints, contacts). Everything is one jitted pure function over the
 ``SimState`` pytree; substeps and solver iterations are ``lax.scan`` /
-unrolled static loops; batches replace the constraint-object dispatch.
+unrolled static loops; typed batches replace constraint-object dispatch.
 
 Projection modes (cf. ``solver/constraints.py``): ``jacobi`` (averaged,
 optionally over-relaxed — the TPU-fast path) and ``gauss_seidel`` (exact
 colored Gauss-Seidel matching the reference's graph-colored solver,
 ``SimulationModel.cpp:1033-1094`` + ``TimeStepController.cpp:270-295``).
+Joints default to colored Gauss-Seidel: joint counts are small and the
+sequential-impulse behavior matters for articulated chains.
 """
 from __future__ import annotations
 
@@ -25,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops import integration, quaternion as quat
 from .constraints import ConstraintSet, scatter_add
-from .state import OrientationState, ParticleState, SimState
+from .state import OrientationState, ParticleState, RigidState, SimState
 
 Array = jax.Array
 
@@ -45,6 +48,9 @@ class StepConfig:
     gravity: tuple = (0.0, -9.81, 0.0)
     solver_mode: str = "jacobi"      # "jacobi" | "gauss_seidel"
     jacobi_omega: float = 1.0        # SOR weight for averaged Jacobi
+    joint_solver_mode: str = "gauss_seidel"
+    contact_stiffness_rb: float = 1.0       # SimulationModel contactStiffnessRigidBody
+    contact_stiffness_particle_rb: float = 100.0
 
 
 def _jacobi_counts(n: int, idx: Array) -> Array:
@@ -108,12 +114,74 @@ def _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg):
     return x, q
 
 
-def project_positions(x, inv_mass, q, inv_mass_q, cset: ConstraintSet, dt, cfg: StepConfig):
+def _masked_inv_inertia_w(rq, inertia0, inv_mass):
+    """World-space inverse inertia ``R diag(1/I₀) Rᵀ`` zeroed for static
+    bodies (the reference only adds K-blocks when ``invMass != 0``)."""
+    r = quat.to_matrix(rq)
+    inv_diag = jnp.where(inertia0 > 0.0, 1.0 / jnp.maximum(inertia0, 1e-30), 0.0)
+    iw = jnp.einsum("...ij,...j,...kj->...ik", r, inv_diag, r)
+    return iw * (inv_mass > 0.0)[..., None, None]
+
+
+def _apply_joint_position(rx, rq, px, jb, corr_x, corr_q, mask=None):
+    """Scatter joint corrections into rigid (and particle) arrays."""
+    if mask is not None:
+        corr_x = corr_x * mask[:, None, None]
+        corr_q = corr_q * mask[:, None, None]
+    nr = rx.shape[0]
+    if jb.couples_particles:
+        rx = rx.at[jb.bodies[:, 0]].add(corr_x[:, 0], mode="drop")
+        rq = rq.at[jb.bodies[:, 0]].add(corr_q[:, 0], mode="drop")
+        if px is not None:
+            px = px.at[jb.bodies[:, 1]].add(corr_x[:, 1], mode="drop")
+    else:
+        rx = rx + scatter_add(nr, jb.bodies, corr_x)
+        rq = rq + scatter_add(nr, jb.bodies, corr_q)
+    rq = quat.normalize(rq)
+    return rx, rq, px
+
+
+def _project_joints(rx, rq, rigid, px, p_inv_mass, cset, lams, time, dt, cfg):
+    """One pass of all joint batches (position level). The world inverse
+    inertia is refreshed from the current rotation before every batch —
+    the ``rotationUpdated`` semantics of the reference."""
+    for k, jb in enumerate(cset.joints):
+        key = f"joint{k}"
+        if cfg.joint_solver_mode == "gauss_seidel":
+            for color in range(jb.num_colors):
+                iw = _masked_inv_inertia_w(rq, rigid.inertia0, rigid.inv_mass)
+                corr_x, corr_q, new_lam = jb.solve_position(
+                    rx, rq, rigid.inv_mass, iw, time, dt, lams[key],
+                    px=px, pw=p_inv_mass)
+                msk = (jb.color == color).astype(jnp.float32)
+                lams[key] = jnp.where(jb.color == color, new_lam, lams[key])
+                rx, rq, px = _apply_joint_position(
+                    rx, rq, px, jb, corr_x, corr_q, mask=msk)
+        else:
+            iw = _masked_inv_inertia_w(rq, rigid.inertia0, rigid.inv_mass)
+            corr_x, corr_q, new_lam = jb.solve_position(
+                rx, rq, rigid.inv_mass, iw, time, dt, lams[key],
+                px=px, pw=p_inv_mass)
+            lams[key] = new_lam
+            rx, rq, px = _apply_joint_position(rx, rq, px, jb, corr_x, corr_q)
+    return rx, rq, px
+
+
+def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
+                      time, dt, cfg: StepConfig):
     """Position-constraint projection — the batched analogue of
     ``TimeStepController::positionConstraintProjection``
     (``TimeStepController.cpp:251-295``). λ arrays start at zero
-    (``Constraints.cpp:1240-1241`` reset-at-iter-0 semantics)."""
+    (``Constraints.cpp:1240-1241`` reset-at-iter-0 semantics) and
+    accumulate across the ``max_iterations`` passes.
+
+    Returns ``(x, q, rigid_x, rigid_q)`` (rigid entries None if no rigid
+    state)."""
     lams = cset.init_lambdas()
+    rx = rigid.x if rigid is not None else None
+    rq = rigid.q if rigid is not None else None
+    for k, jb in enumerate(cset.joints):
+        lams[f"joint{k}"] = jb.init_lambda()
     for _ in range(cfg.max_iterations):
         for name, batch in cset.particle_batches():
             x, lams[name] = _project_particle_batch(
@@ -121,7 +189,10 @@ def project_positions(x, inv_mass, q, inv_mass_q, cset: ConstraintSet, dt, cfg: 
             )
         if q is not None:
             x, q = _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg)
-    return x, q
+        if rigid is not None and cset.joints:
+            rx, rq, x = _project_joints(
+                rx, rq, rigid, x, inv_mass, cset, lams, time, dt, cfg)
+    return x, q, rx, rq
 
 
 def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig) -> SimState:
@@ -144,8 +215,23 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig) -> SimSta
     else:
         oq = None
 
-    x, oq = project_positions(
-        x, p.inv_mass, oq, o.inv_mass if o is not None else None, cset, h, cfg
+    r = state.rigid
+    if r is not None:
+        r_last_x, r_old_x = r.old_x, r.x
+        r_last_q, r_old_q = r.old_q, r.q
+        accel = (jnp.broadcast_to(gravity, r.x.shape)
+                 + r.ext_force * r.inv_mass[..., None])
+        rx, rv = integration.semi_implicit_euler(h, r.inv_mass, r.x, r.v, accel)
+        iw, inv_iw = r.inertia_world()
+        inv_iw = inv_iw * (r.inv_mass > 0.0)[..., None, None]
+        rq, romega = integration.semi_implicit_euler_rotation(
+            h, r.inv_mass, iw, inv_iw, r.q, r.omega, r.ext_torque
+        )
+        r = dataclasses.replace(r, x=rx, q=rq, v=rv, omega=romega)
+
+    x, oq, rx, rq = project_positions(
+        x, p.inv_mass, oq, o.inv_mass if o is not None else None,
+        r, cset, state.time, h, cfg
     )
 
     if cfg.velocity_update_method == 1:
@@ -166,22 +252,68 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig) -> SimSta
         orientations = dataclasses.replace(
             o, q=oq, omega=oomega, old_q=old_q, last_q=last_q
         )
+    rigid = r
+    if r is not None:
+        if cfg.velocity_update_method == 1:
+            rv = integration.velocity_update_second_order(
+                h, r.inv_mass, rx, r_old_x, r_last_x, r.v)
+        else:
+            rv = integration.velocity_update_first_order(
+                h, r.inv_mass, rx, r_old_x, r.v)
+        romega = integration.angular_velocity_update_first_order(
+            h, r.inv_mass, rq, r_old_q, r.omega)
+        rigid = dataclasses.replace(
+            r, x=rx, q=rq, v=rv, omega=romega,
+            old_x=r_old_x, last_x=r_last_x, old_q=r_old_q, last_q=r_last_q,
+        )
     return dataclasses.replace(
-        state, particles=particles, orientations=orientations
+        state, particles=particles, orientations=orientations, rigid=rigid
     )
 
 
+def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
+                                   cfg: StepConfig) -> SimState:
+    """Velocity-level projection, once per step after the substep loop
+    (``TimeStepController::velocityConstraintProjection``,
+    ``TimeStepController.cpp:298-357``): ``max_iterations_v`` passes over
+    the velocity-motor joints (and contact constraints, once collision is
+    active)."""
+    r = state.rigid
+    vel_batches = [jb for jb in cset.joints if jb.has_velocity_solve]
+    if r is None or not vel_batches:
+        return state
+    rv, romega = r.v, r.omega
+    iw = _masked_inv_inertia_w(r.q, r.inertia0, r.inv_mass)
+    nr = r.x.shape[0]
+    for _ in range(cfg.max_iterations_v):
+        for jb in vel_batches:
+            if cfg.joint_solver_mode == "gauss_seidel":
+                for color in range(jb.num_colors):
+                    corr_v, corr_om = jb.solve_velocity(
+                        r.x, r.q, rv, romega, r.inv_mass, iw, state.time)
+                    msk = (jb.color == color).astype(jnp.float32)[:, None, None]
+                    rv = rv + scatter_add(nr, jb.bodies, corr_v * msk)
+                    romega = romega + scatter_add(nr, jb.bodies, corr_om * msk)
+            else:
+                corr_v, corr_om = jb.solve_velocity(
+                    r.x, r.q, rv, romega, r.inv_mass, iw, state.time)
+                rv = rv + scatter_add(nr, jb.bodies, corr_v)
+                romega = romega + scatter_add(nr, jb.bodies, corr_om)
+    return dataclasses.replace(
+        state, rigid=dataclasses.replace(r, v=rv, omega=romega))
+
+
 def step(state: SimState, cset: ConstraintSet, cfg: StepConfig) -> SimState:
-    """One full sim step = ``substeps`` substeps (+ collision & velocity
-    solve once per step — added with the collision subsystem), mirroring
-    ``TimeStepController::step``. Pure function; jit with
-    ``jax.jit(step, static_argnums=2)`` or via :func:`make_step_fn`."""
+    """One full sim step = ``substeps`` substeps + per-step velocity
+    constraint projection, mirroring ``TimeStepController::step``. Pure
+    function; jit via :func:`make_step_fn`."""
     h = cfg.dt / cfg.substeps
 
     def body(s, _):
         return _substep(s, cset, h, cfg), None
 
     state, _ = jax.lax.scan(body, state, None, length=cfg.substeps)
+    state = velocity_constraint_projection(state, cset, cfg)
     return dataclasses.replace(state, time=state.time + cfg.dt)
 
 
