@@ -1,0 +1,86 @@
+"""Velocity-level contact solve with restitution, penalty, and Coulomb
+friction — the batched form of
+``velocitySolve_RigidBodyContactConstraint`` and
+``velocitySolve_ParticleRigidBodyContactConstraint``
+(``PositionBasedDynamics/PositionBasedRigidBodyDynamics.cpp:2290-2383,
+2454-2560``).
+
+Per contact row and iteration:
+
+* impulse magnitude ``p = nKn⁻¹ (goal_uₙ − u_rel·n)``, clamped so the
+  accumulated sum stays ≥ 0;
+* penalty impulse ``−k · nKn⁻¹ · d`` for penetration depth ``d < 0``;
+* friction: subtract ``clamp(μ pₙ, ±p_max) · t``.
+
+The reference solves contacts sequentially (Gauss-Seidel within the
+``maxIterationsV`` loop); here each pass solves all rows simultaneously
+from the same velocities and scatter-adds the corrections (Jacobi) — the
+standard TPU trade, compensated by the iteration loop.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .detection import ParticleRigidContacts, RigidContacts
+
+Array = jax.Array
+
+
+def _impulse(c, u_rel, sum_impulses, stiffness):
+    """Shared impulse logic for both contact families. Returns
+    ``(p (K,3), new_sum)``."""
+    u_rel_n = jnp.sum(c.normal * u_rel, -1)
+    corr = c.nkn_inv * (c.goal_u_n - u_rel_n)
+    corr = jnp.maximum(corr, -sum_impulses)
+    d = jnp.sum(c.normal * (c.cp0 - c.cp1), -1)
+    corr = corr - jnp.where(d < 0.0, stiffness * c.nkn_inv * d, 0.0)
+    new_sum = sum_impulses + corr * c.mask
+    p = corr[:, None] * c.normal
+    pn = corr  # p·n
+    ft = jnp.where(c.friction * pn > c.p_max, c.p_max,
+                   jnp.where(c.friction * pn < -c.p_max, -c.p_max,
+                             c.friction * pn))
+    p = p - ft[:, None] * c.tangent
+    return p * c.mask[:, None], new_sum
+
+
+def solve_rigid_contacts(c: RigidContacts, rx, rv, rom, inv_mass, inv_iw,
+                         sum_impulses, stiffness):
+    """One Jacobi pass over all rb–rb contact rows. Returns
+    ``(rv, rom, sum_impulses)`` with corrections scattered in."""
+    r0 = c.cp0 - rx[c.body0]
+    r1 = c.cp1 - rx[c.body1]
+    u_rel = (rv[c.body0] + jnp.cross(rom[c.body0], r0)
+             - rv[c.body1] - jnp.cross(rom[c.body1], r1))
+    p, sum_impulses = _impulse(c, u_rel, sum_impulses, stiffness)
+
+    w0 = inv_mass[c.body0]
+    w1 = inv_mass[c.body1]
+    dv0 = w0[:, None] * p
+    dom0 = jnp.einsum("kij,kj->ki", inv_iw[c.body0], jnp.cross(r0, p))
+    dv1 = -w1[:, None] * p
+    dom1 = jnp.einsum("kij,kj->ki", inv_iw[c.body1], jnp.cross(r1, -p))
+
+    rv = rv.at[c.body0].add(dv0).at[c.body1].add(dv1)
+    rom = rom.at[c.body0].add(dom0).at[c.body1].add(dom1)
+    return rv, rom, sum_impulses
+
+
+def solve_particle_rigid_contacts(c: ParticleRigidContacts, px, pv,
+                                  p_inv_mass, rx, rv, rom, inv_mass, inv_iw,
+                                  sum_impulses, stiffness):
+    """One Jacobi pass over all particle–rigid contact rows. Returns
+    ``(pv, rv, rom, sum_impulses)``. ``cp0`` is refreshed to the current
+    particle position so the penalty depth tracks the substep result."""
+    r1 = c.cp1 - rx[c.body1]
+    u_rel = pv[c.particle] - (rv[c.body1] + jnp.cross(rom[c.body1], r1))
+    p, sum_impulses = _impulse(c, u_rel, sum_impulses, stiffness)
+
+    w0 = p_inv_mass[c.particle]
+    w1 = inv_mass[c.body1]
+    pv = pv.at[c.particle].add(w0[:, None] * p)
+    rv = rv.at[c.body1].add(-w1[:, None] * p)
+    rom = rom.at[c.body1].add(
+        jnp.einsum("kij,kj->ki", inv_iw[c.body1], jnp.cross(r1, -p)))
+    return pv, rv, rom, sum_impulses

@@ -1,0 +1,245 @@
+"""Signed-distance fields — analytic shapes and dense grids.
+
+TPU-native equivalent of the reference's implicit collision geometry
+(``Simulation/DistanceFieldCollisionDetection.h:32-104``: Box, Sphere,
+Torus, Cylinder, HollowSphere, HollowBox) and its cubic-grid SDF wrapper
+(``Simulation/CubicSDFCollisionDetection.h:14-42``, Discregrid). Each
+shape is a small pytree with a *static* ``kind`` so the narrow phase
+dispatches at trace time; distance evaluation is fully vectorized over a
+``(..., 3)`` point array. The ``invert`` factor and the subtracted
+``tolerance`` follow ``DistanceFieldCollisionDetection.cpp:600-680``;
+normals are central differences of the (interpolated) field, matching
+``approximateNormal`` (``DistanceFieldCollisionDetection.cpp:684-706``).
+
+Grid SDFs replace the reference's runtime Discregrid dependency with an
+offline-baked dense ``(nx, ny, nz)`` array + trilinear interpolation —
+read-only, unbatched, shared across all rollout scenarios (SURVEY §7
+"SDF memory").
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+SPHERE = "sphere"
+BOX = "box"
+TORUS = "torus"
+CYLINDER = "cylinder"
+HOLLOW_SPHERE = "hollow_sphere"
+HOLLOW_BOX = "hollow_box"
+GRID = "grid"
+PLANE = "plane"
+
+
+def _register(cls):
+    data = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    return jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+
+
+# ---------------------------------------------------------------------------
+# Raw signed-distance functions (local frame, (..., 3) points)
+# ---------------------------------------------------------------------------
+
+
+def sdf_sphere(p: Array, radius) -> Array:
+    """``|p| - r`` (``DistanceFieldCollisionSphere::distance``)."""
+    return jnp.linalg.norm(p, axis=-1) - radius
+
+
+def sdf_box(p: Array, half_extents) -> Array:
+    """Exact box SDF (``DistanceFieldCollisionBox::distance``)."""
+    d = jnp.abs(p) - half_extents
+    outside = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(d, axis=-1), 0.0)
+    return outside + inside
+
+
+def sdf_torus(p: Array, major_r, minor_r) -> Array:
+    """Torus around the y axis (``DistanceFieldCollisionTorus::distance``)."""
+    qx = jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - major_r
+    return jnp.sqrt(qx**2 + p[..., 1] ** 2) - minor_r
+
+
+def sdf_cylinder(p: Array, radius, half_height) -> Array:
+    """Finite y-axis cylinder (``DistanceFieldCollisionCylinder::distance``;
+    the reference stores ``m_dim = (radius, height/2)``)."""
+    l = jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2)
+    d = jnp.stack([jnp.abs(l) - radius, jnp.abs(p[..., 1]) - half_height], -1)
+    outside = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.maximum(d[..., 0], d[..., 1]), 0.0)
+    return outside + inside
+
+
+def sdf_hollow_sphere(p: Array, radius, thickness) -> Array:
+    """``| |p|-r | - thickness`` (``DistanceFieldCollisionHollowSphere``)."""
+    return jnp.abs(jnp.linalg.norm(p, axis=-1) - radius) - thickness
+
+
+def sdf_hollow_box(p: Array, half_extents, thickness) -> Array:
+    """``|box_sdf| - thickness`` (``DistanceFieldCollisionHollowBox``)."""
+    return jnp.abs(sdf_box(p, half_extents)) - thickness
+
+
+def sdf_plane(p: Array, normal, offset) -> Array:
+    """Half-space ``n·p - offset`` (ground-plane convenience; the reference
+    expresses floors as large boxes — both are supported here)."""
+    return p @ normal - offset
+
+
+# ---------------------------------------------------------------------------
+# Shape pytrees
+# ---------------------------------------------------------------------------
+
+
+@_register
+@dataclass(frozen=True)
+class SDFShape:
+    """One collision geometry: a static ``kind`` plus parameter arrays.
+    ``invert`` flips inside/outside (scene-format ``invertSDF``,
+    ``Utils/SceneLoader.h:35-41``). For ``kind == GRID`` the dense field
+    lives in ``grid_values`` over a box ``[origin, origin + extent]``."""
+
+    kind: str = field(metadata=dict(static=True))
+    params: Array = None           # shape-specific packed parameters
+    invert: Array = None           # scalar +1/-1
+    grid_values: Array = None      # (nx, ny, nz) for GRID
+    grid_origin: Array = None      # (3,)
+    grid_inv_cell: Array = None    # (3,)
+
+    @staticmethod
+    def sphere(radius, invert=False) -> "SDFShape":
+        return _shape(SPHERE, [radius], invert)
+
+    @staticmethod
+    def box(half_extents, invert=False) -> "SDFShape":
+        return _shape(BOX, list(half_extents), invert)
+
+    @staticmethod
+    def torus(major_r, minor_r, invert=False) -> "SDFShape":
+        return _shape(TORUS, [major_r, minor_r], invert)
+
+    @staticmethod
+    def cylinder(radius, height, invert=False) -> "SDFShape":
+        return _shape(CYLINDER, [radius, 0.5 * height], invert)
+
+    @staticmethod
+    def hollow_sphere(radius, thickness, invert=False) -> "SDFShape":
+        return _shape(HOLLOW_SPHERE, [radius, thickness], invert)
+
+    @staticmethod
+    def hollow_box(half_extents, thickness, invert=False) -> "SDFShape":
+        return _shape(HOLLOW_BOX, list(half_extents) + [thickness], invert)
+
+    @staticmethod
+    def plane(normal=(0.0, 1.0, 0.0), offset=0.0, invert=False) -> "SDFShape":
+        n = np.asarray(normal, np.float32)
+        n = n / np.linalg.norm(n)
+        return _shape(PLANE, list(n) + [offset], invert)
+
+    @staticmethod
+    def grid(values, origin, extent, invert=False) -> "SDFShape":
+        values = jnp.asarray(values, jnp.float32)
+        origin = np.asarray(origin, np.float32)
+        extent = np.asarray(extent, np.float32)
+        cells = np.asarray(values.shape, np.float32) - 1.0
+        return SDFShape(
+            kind=GRID,
+            params=jnp.zeros((1,), jnp.float32),
+            invert=jnp.float32(-1.0 if invert else 1.0),
+            grid_values=values,
+            grid_origin=jnp.asarray(origin),
+            grid_inv_cell=jnp.asarray(cells / extent),
+        )
+
+    # -- evaluation ---------------------------------------------------------
+
+    def distance(self, p: Array) -> Array:
+        """Signed distance of local-frame points ``(..., 3)``."""
+        k, pr = self.kind, self.params
+        if k == SPHERE:
+            d = sdf_sphere(p, pr[0])
+        elif k == BOX:
+            d = sdf_box(p, pr[:3])
+        elif k == TORUS:
+            d = sdf_torus(p, pr[0], pr[1])
+        elif k == CYLINDER:
+            d = sdf_cylinder(p, pr[0], pr[1])
+        elif k == HOLLOW_SPHERE:
+            d = sdf_hollow_sphere(p, pr[0], pr[1])
+        elif k == HOLLOW_BOX:
+            d = sdf_hollow_box(p, pr[:3], pr[3])
+        elif k == PLANE:
+            d = sdf_plane(p, pr[:3], pr[3])
+        elif k == GRID:
+            d = grid_trilinear(self.grid_values, self.grid_origin,
+                               self.grid_inv_cell, p)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown SDF kind {k!r}")
+        return self.invert * d
+
+    def normal(self, p: Array, eps: float = 1.0e-4) -> Array:
+        """Central-difference gradient, normalized; zero where degenerate
+        (``approximateNormal``, ``DistanceFieldCollisionDetection.cpp:684``).
+        ``eps`` is larger than the reference's 1e-6 because we evaluate in
+        float32 rather than double."""
+        offs = jnp.eye(3, dtype=p.dtype) * eps
+        dp = self.distance(p[..., None, :] + offs)   # (..., 3)
+        dm = self.distance(p[..., None, :] - offs)
+        g = (dp - dm) / (2.0 * eps)
+        n2 = jnp.sum(g * g, axis=-1, keepdims=True)
+        return jnp.where(n2 < 1e-12, 0.0, g / jnp.sqrt(jnp.maximum(n2, 1e-30)))
+
+
+def _shape(kind, params, invert) -> SDFShape:
+    return SDFShape(
+        kind=kind,
+        params=jnp.asarray(np.asarray(params, np.float32)),
+        invert=jnp.float32(-1.0 if invert else 1.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense-grid interpolation
+# ---------------------------------------------------------------------------
+
+
+def grid_trilinear(values: Array, origin: Array, inv_cell: Array,
+                   p: Array) -> Array:
+    """Trilinear interpolation of a dense SDF grid at points ``(..., 3)``.
+    Points outside the grid are clamped to the boundary (the reference's
+    Discregrid query is likewise only valid inside its domain; callers
+    should bake with padding). Pure gathers — XLA maps this to efficient
+    dynamic-slice/gather on TPU."""
+    shape = jnp.asarray(values.shape, jnp.float32)
+    u = (p - origin) * inv_cell
+    u = jnp.clip(u, 0.0, shape - 1.000001)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(values.shape, jnp.int32) - 1)
+
+    def g(a, b, c):
+        return values[a[..., 0], b[..., 1], c[..., 2]]
+
+    c000 = g(i0, i0, i0)
+    c100 = g(i1, i0, i0)
+    c010 = g(i0, i1, i0)
+    c110 = g(i1, i1, i0)
+    c001 = g(i0, i0, i1)
+    c101 = g(i1, i0, i1)
+    c011 = g(i0, i1, i1)
+    c111 = g(i1, i1, i1)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz

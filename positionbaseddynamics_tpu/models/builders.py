@@ -164,6 +164,10 @@ class SceneBuilder:
     # joints: list of dicts {kind, bodies (2,), params...}
     _joints: list = field(default_factory=list)
 
+    # collision objects (built into a CollisionPipeline separately)
+    _rb_colliders: list = field(default_factory=list)
+    _pg_colliders: list = field(default_factory=list)
+
     # constraint chunk accumulators: lists of (idx array, param arrays...)
     _distance: list = field(default_factory=list)       # (idx, k, xpbd)
     _dihedral: list = field(default_factory=list)       # (idx, k)
@@ -357,6 +361,91 @@ class SceneBuilder:
 
     def add_rigid_body_particle_ball_joint(self, rb, particle):
         self._add_joint("rb_particle_ball", rb, particle)
+
+    # ---- collision objects (DistanceFieldCollisionDetection add*) --------
+
+    def add_collision_object(self, rb: int, shape, verts=None,
+                             restitution=0.6, friction=0.2):
+        """Attach an SDF collision geometry (``collision.SDFShape``) to a
+        rigid body, with optional body-frame surface samples used when this
+        body is the point side of an rb–rb test — the analogue of
+        ``addCollisionSphere/Box/…`` (``DistanceFieldCollisionDetection.h``).
+        When ``verts`` is None, a default surface sampling is generated for
+        analytic shapes (dynamic bodies need one to collide as the point
+        side; pure-SDF targets like a static floor don't)."""
+        from ..collision import sampling
+        from ..collision.sdf import (
+            BOX, CYLINDER, SPHERE, TORUS, HOLLOW_BOX, HOLLOW_SPHERE)
+
+        if verts is None:
+            k = shape.kind
+            p = np.asarray(shape.params)
+            if k == SPHERE:
+                verts = sampling.sample_sphere(float(p[0]))
+            elif k in (BOX, HOLLOW_BOX):
+                verts = sampling.sample_box(p[:3])
+            elif k == CYLINDER:
+                verts = sampling.sample_cylinder(float(p[0]), 2 * float(p[1]))
+            elif k == TORUS:
+                verts = sampling.sample_torus(float(p[0]), float(p[1]))
+            elif k == HOLLOW_SPHERE:
+                verts = sampling.sample_sphere(float(p[0]) + float(p[1]))
+        self._rb_colliders.append(dict(
+            body=int(rb), shape=shape,
+            verts=None if verts is None else np.asarray(verts, np.float32),
+            restitution=float(restitution), friction=float(friction)))
+
+    def add_collision_sphere(self, rb, radius, **kw):
+        from ..collision.sdf import SDFShape
+        self.add_collision_object(rb, SDFShape.sphere(radius), **kw)
+
+    def add_collision_box(self, rb, half_extents, **kw):
+        from ..collision.sdf import SDFShape
+        self.add_collision_object(rb, SDFShape.box(half_extents), **kw)
+
+    def add_collision_cylinder(self, rb, radius, height, **kw):
+        from ..collision.sdf import SDFShape
+        self.add_collision_object(rb, SDFShape.cylinder(radius, height), **kw)
+
+    def add_collision_torus(self, rb, major_r, minor_r, **kw):
+        from ..collision.sdf import SDFShape
+        self.add_collision_object(rb, SDFShape.torus(major_r, minor_r), **kw)
+
+    def add_collision_sdf(self, rb, values, origin, extent, verts=None, **kw):
+        """Baked-grid SDF (``CubicSDFCollisionDetection`` analogue)."""
+        from ..collision.sdf import SDFShape
+        self.add_collision_object(
+            rb, SDFShape.grid(values, origin, extent), verts=verts, **kw)
+
+    def set_particle_collider(self, handle, restitution=0.1, friction=0.2):
+        """Let a triangle/tet model's particles collide with rigid SDFs
+        (the ``collisionDetectionRBSolid`` path)."""
+        self._pg_colliders.append(dict(
+            offset=handle.offset, count=int(handle.mesh.n_vertices),
+            restitution=float(restitution), friction=float(friction)))
+
+    def build_collision_pipeline(self, tolerance=0.01):
+        """Freeze accumulated colliders into a jit-ready
+        ``CollisionPipeline`` (pass it to ``solver.step``/``rollout``).
+        Default tolerance 0.01 per ``CollisionDetection.cpp:25``."""
+        import jax.numpy as jnp
+
+        from ..collision import CollisionPipeline, ParticleGroupCollider, RigidCollider
+
+        rcs = tuple(
+            RigidCollider(
+                body=c["body"], shape=c["shape"],
+                verts=None if c["verts"] is None else jnp.asarray(c["verts"]),
+                restitution=jnp.float32(c["restitution"]),
+                friction=jnp.float32(c["friction"]))
+            for c in self._rb_colliders)
+        pgs = tuple(
+            ParticleGroupCollider(
+                offset=c["offset"], count=c["count"],
+                restitution=jnp.float32(c["restitution"]),
+                friction=jnp.float32(c["friction"]))
+            for c in self._pg_colliders)
+        return CollisionPipeline.create(rcs, pgs, tolerance=tolerance)
 
     # ---- low-level constraint adders (SimulationModel.h:186-249) ---------
     # Scalar and bulk (array) forms share the same chunk accumulators.

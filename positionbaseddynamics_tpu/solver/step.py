@@ -272,19 +272,35 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig) -> SimSta
 
 
 def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
-                                   cfg: StepConfig) -> SimState:
+                                   cfg: StepConfig, pipeline=None) -> SimState:
     """Velocity-level projection, once per step after the substep loop
     (``TimeStepController::velocityConstraintProjection``,
-    ``TimeStepController.cpp:298-357``): ``max_iterations_v`` passes over
-    the velocity-motor joints (and contact constraints, once collision is
-    active)."""
+    ``TimeStepController.cpp:298-357``): collision detection, then
+    ``max_iterations_v`` passes over the velocity-motor joints and the
+    contact constraints (contact info initialized once at detection time,
+    per-contact impulse sums carried across passes — the reference's
+    ``m_sum_impulses`` semantics)."""
+    from ..collision import contacts as contact_ops
+
     r = state.rigid
     vel_batches = [jb for jb in cset.joints if jb.has_velocity_solve]
-    if r is None or not vel_batches:
+    has_contacts = (pipeline is not None and pipeline.active
+                    and r is not None)
+    if r is None or not (vel_batches or has_contacts):
         return state
+    p = state.particles
+    px, pv = p.x, p.v
     rv, romega = r.v, r.omega
     iw = _masked_inv_inertia_w(r.q, r.inertia0, r.inv_mass)
     nr = r.x.shape[0]
+
+    rc = pc = None
+    if has_contacts:
+        rc = pipeline.detect_rigid(r)
+        pc = pipeline.detect_particles(px, pv, p.inv_mass, r)
+    rc_sum = jnp.zeros((rc.mask.shape[0],), jnp.float32) if rc is not None else None
+    pc_sum = jnp.zeros((pc.mask.shape[0],), jnp.float32) if pc is not None else None
+
     for _ in range(cfg.max_iterations_v):
         for jb in vel_batches:
             if cfg.joint_solver_mode == "gauss_seidel":
@@ -299,39 +315,53 @@ def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
                     r.x, r.q, rv, romega, r.inv_mass, iw, state.time)
                 rv = rv + scatter_add(nr, jb.bodies, corr_v)
                 romega = romega + scatter_add(nr, jb.bodies, corr_om)
-    return dataclasses.replace(
+        if rc is not None:
+            rv, romega, rc_sum = contact_ops.solve_rigid_contacts(
+                rc, r.x, rv, romega, r.inv_mass, iw, rc_sum,
+                cfg.contact_stiffness_rb)
+        if pc is not None:
+            pv, rv, romega, pc_sum = contact_ops.solve_particle_rigid_contacts(
+                pc, px, pv, p.inv_mass, r.x, rv, romega, r.inv_mass, iw,
+                pc_sum, cfg.contact_stiffness_particle_rb)
+    state = dataclasses.replace(
         state, rigid=dataclasses.replace(r, v=rv, omega=romega))
+    if pc is not None:
+        state = dataclasses.replace(
+            state, particles=dataclasses.replace(p, v=pv))
+    return state
 
 
-def step(state: SimState, cset: ConstraintSet, cfg: StepConfig) -> SimState:
-    """One full sim step = ``substeps`` substeps + per-step velocity
-    constraint projection, mirroring ``TimeStepController::step``. Pure
-    function; jit via :func:`make_step_fn`."""
+def step(state: SimState, cset: ConstraintSet, cfg: StepConfig,
+         pipeline=None) -> SimState:
+    """One full sim step = ``substeps`` substeps + per-step collision
+    detection and velocity constraint projection, mirroring
+    ``TimeStepController::step``. Pure function; jit via
+    :func:`make_step_fn`."""
     h = cfg.dt / cfg.substeps
 
     def body(s, _):
         return _substep(s, cset, h, cfg), None
 
     state, _ = jax.lax.scan(body, state, None, length=cfg.substeps)
-    state = velocity_constraint_projection(state, cset, cfg)
+    state = velocity_constraint_projection(state, cset, cfg, pipeline)
     return dataclasses.replace(state, time=state.time + cfg.dt)
 
 
-def make_step_fn(cset: ConstraintSet, cfg: StepConfig):
+def make_step_fn(cset: ConstraintSet, cfg: StepConfig, pipeline=None):
     """Jitted ``state → state`` closure over a fixed scene."""
     @jax.jit
     def fn(state: SimState) -> SimState:
-        return step(state, cset, cfg)
+        return step(state, cset, cfg, pipeline)
     return fn
 
 
 def rollout(state: SimState, cset: ConstraintSet, cfg: StepConfig,
-            n_steps: int, collect: bool = False):
+            n_steps: int, collect: bool = False, pipeline=None):
     """Scan ``n_steps`` sim steps. Returns final state, plus the stacked
     particle-position trajectory ``(n_steps, N, 3)`` when ``collect``."""
 
     def body(s, _):
-        s = step(s, cset, cfg)
+        s = step(s, cset, cfg, pipeline)
         out = s.particles.x if collect else None
         return s, out
 

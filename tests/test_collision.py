@@ -1,0 +1,175 @@
+"""Collision subsystem tests: SDF values/normals, grid baking, and
+end-to-end contact response (rigid body and cloth resting on static
+geometry) — the behavior the reference's DistanceFieldDemos exercise
+visually (``Demos/DistanceFieldDemos/RigidBodyCollisionDemo.cpp``,
+``ClothCollisionDemo.cpp``)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from positionbaseddynamics_tpu.collision import (
+    SDFShape, bake_mesh_sdf, grid_trilinear, sampling)
+from positionbaseddynamics_tpu.models import SceneBuilder
+from positionbaseddynamics_tpu.solver import StepConfig, make_step_fn
+
+
+# ---------------------------------------------------------------------------
+# SDF unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_sphere_sdf_values_and_normals():
+    s = SDFShape.sphere(2.0)
+    p = jnp.array([[3.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
+    d = s.distance(p)
+    np.testing.assert_allclose(d, [1.0, -1.0, -2.0], atol=1e-5)
+    n = s.normal(p[:2])
+    np.testing.assert_allclose(n[0], [1.0, 0.0, 0.0], atol=1e-2)
+    np.testing.assert_allclose(n[1], [0.0, 1.0, 0.0], atol=1e-2)
+
+
+def test_box_sdf_inside_outside():
+    s = SDFShape.box((1.0, 2.0, 3.0))
+    d = s.distance(jnp.array([
+        [0.0, 0.0, 0.0],    # inside: -min half extent
+        [2.0, 0.0, 0.0],    # 1 outside x face
+        [0.0, 3.0, 4.0],    # diagonal outside
+    ]))
+    np.testing.assert_allclose(d[0], -1.0, atol=1e-5)
+    np.testing.assert_allclose(d[1], 1.0, atol=1e-5)
+    np.testing.assert_allclose(d[2], np.sqrt(2.0), atol=1e-5)
+
+
+def test_invert_and_torus_cylinder_hollow():
+    inv = SDFShape.sphere(2.0, invert=True)
+    np.testing.assert_allclose(
+        inv.distance(jnp.array([[0.0, 0.0, 0.0]])), [2.0], atol=1e-5)
+    t = SDFShape.torus(2.0, 0.5)
+    np.testing.assert_allclose(
+        t.distance(jnp.array([[2.0, 0.0, 0.0]])), [-0.5], atol=1e-5)
+    c = SDFShape.cylinder(1.0, 4.0)
+    np.testing.assert_allclose(
+        c.distance(jnp.array([[0.0, 3.0, 0.0], [1.5, 0.0, 0.0]])),
+        [1.0, 0.5], atol=1e-5)
+    hs = SDFShape.hollow_sphere(2.0, 0.25)
+    np.testing.assert_allclose(
+        hs.distance(jnp.array([[2.0, 0.0, 0.0], [0.0, 0.0, 0.0]])),
+        [-0.25, 1.75], atol=1e-5)
+    hb = SDFShape.hollow_box((1.0, 1.0, 1.0), 0.1)
+    np.testing.assert_allclose(
+        hb.distance(jnp.array([[1.0, 0.0, 0.0]])), [-0.1], atol=1e-5)
+
+
+def test_grid_sdf_matches_analytic_sphere():
+    # bake a sphere analytically onto a grid and compare interpolation
+    res = 33
+    axes = np.linspace(-2.0, 2.0, res)
+    gx, gy, gz = np.meshgrid(axes, axes, axes, indexing="ij")
+    vals = np.sqrt(gx**2 + gy**2 + gz**2) - 1.0
+    g = SDFShape.grid(vals.astype(np.float32), origin=(-2, -2, -2),
+                      extent=(4, 4, 4))
+    pts = jnp.array([[0.0, 0.0, 0.0], [1.5, 0.0, 0.0], [0.3, 0.4, 0.0]])
+    ref = jnp.linalg.norm(pts, axis=-1) - 1.0
+    np.testing.assert_allclose(g.distance(pts), ref, atol=2e-2)
+    n = g.normal(jnp.array([[1.5, 0.0, 0.0]]))
+    np.testing.assert_allclose(n[0], [1.0, 0.0, 0.0], atol=5e-2)
+
+
+def test_bake_mesh_sdf_cube():
+    # unit cube mesh
+    v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+                 float)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    vals, origin, extent = bake_mesh_sdf(v, f, resolution=24, padding=0.3)
+    g = SDFShape.grid(vals, origin, extent)
+    inside = g.distance(jnp.array([[0.5, 0.5, 0.5]]))
+    outside = g.distance(jnp.array([[0.5, 0.5, 1.25]]))  # inside padded domain
+    assert float(inside[0]) < -0.2
+    np.testing.assert_allclose(float(outside[0]), 0.25, atol=0.08)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end contact tests
+# ---------------------------------------------------------------------------
+
+
+def test_rigid_sphere_rests_on_static_box():
+    """A dynamic sphere dropped on a static box floor must stop at the
+    surface instead of falling through."""
+    b = SceneBuilder()
+    floor = b.add_rigid_body((0.0, -1.0, 0.0), mass=0.0)
+    ball = b.add_rigid_body((0.0, 1.2, 0.0), mass=1.0,
+                            inertia=(0.4, 0.4, 0.4))
+    b.add_collision_box(floor, (5.0, 1.0, 5.0), restitution=0.0,
+                        friction=0.1, verts=np.zeros((1, 3), np.float32))
+    b.add_collision_sphere(ball, 0.5, restitution=0.0, friction=0.1)
+    state, cset = b.build()
+    pipeline = b.build_collision_pipeline(tolerance=0.01)
+    assert pipeline.active
+
+    fn = make_step_fn(cset, StepConfig(), pipeline)
+    for _ in range(120):  # 0.6 s
+        state = fn(state)
+    y = float(state.rigid.x[ball, 1])
+    # resting height: box top (0) + sphere radius (0.5) ± tolerance slack
+    assert 0.42 < y < 0.62, y
+    assert abs(float(state.rigid.v[ball, 1])) < 0.35
+
+
+def test_rigid_sphere_bounces_with_restitution():
+    b = SceneBuilder()
+    floor = b.add_rigid_body((0.0, -1.0, 0.0), mass=0.0)
+    ball = b.add_rigid_body((0.0, 1.5, 0.0), mass=1.0,
+                            inertia=(0.4, 0.4, 0.4))
+    b.add_collision_box(floor, (5.0, 1.0, 5.0), restitution=1.0,
+                        friction=0.0, verts=np.zeros((1, 3), np.float32))
+    b.add_collision_sphere(ball, 0.5, restitution=0.8, friction=0.0)
+    state, cset = b.build()
+    fn = make_step_fn(cset, StepConfig(), b.build_collision_pipeline())
+    max_y_after_bounce = 0.0
+    bounced = False
+    for i in range(400):
+        state = fn(state)
+        vy = float(state.rigid.v[ball, 1])
+        if vy > 0.5:
+            bounced = True
+        if bounced:
+            max_y_after_bounce = max(max_y_after_bounce, float(state.rigid.x[ball, 1]))
+    assert bounced
+    assert max_y_after_bounce > 0.8  # recovers a good fraction of drop height
+
+
+def test_cloth_rests_on_sphere():
+    """ClothCollisionDemo-style: cloth falls onto a static collision
+    sphere; particles must not penetrate it."""
+    b = SceneBuilder()
+    n = 12
+    tm = b.add_regular_triangle_model(n, n, translation=(-1.0, 1.0, -1.0),
+                                      scale=(2.0, 2.0))
+    b.add_cloth_constraints(tm, method=4, distance_stiffness=1e5)
+    b.add_bending_constraints(tm, method=3, stiffness=0.05)
+    sph = b.add_rigid_body((0.0, 0.0, 0.0), mass=0.0)
+    b.add_collision_sphere(sph, 0.6, restitution=0.0, friction=0.2,
+                           verts=np.zeros((1, 3), np.float32))
+    b.set_particle_collider(tm, restitution=0.0, friction=0.2)
+    state, cset = b.build()
+    fn = make_step_fn(cset, StepConfig(), b.build_collision_pipeline(0.02))
+    for _ in range(150):
+        state = fn(state)
+    x = np.asarray(state.particles.x)
+    dist = np.linalg.norm(x, axis=-1)
+    # all particles outside the sphere (small solver slack allowed)
+    assert dist.min() > 0.52, dist.min()
+    # cloth draped over the sphere: some particles held up near the top
+    assert x[:, 1].max() > 0.2
+
+
+def test_sampling_points_on_surface():
+    s = sampling.sample_sphere(1.5, 32)
+    np.testing.assert_allclose(np.linalg.norm(s, axis=1), 1.5, atol=1e-5)
+    bx = sampling.sample_box((1.0, 2.0, 0.5))
+    assert (np.abs(np.abs(bx / [1.0, 2.0, 0.5]).max(axis=1) - 1.0) < 1e-6).all()
