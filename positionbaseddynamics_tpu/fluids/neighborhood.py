@@ -1,0 +1,78 @@
+"""Fixed-radius neighbor search — sort-based spatial hashing, jittable.
+
+TPU-native replacement for the reference's
+``NeighborhoodSearchSpatialHashing`` (``Simulation/
+NeighborhoodSearchSpatialHashing.cpp:89-160``): the reference inserts
+particles into a prime-XOR hash map then gathers the 27 surrounding
+cells with ``maxNeighbors=60`` / ``maxParticlesPerCell=50`` caps. Here
+the hash map becomes a *sort*: hash every particle's cell id, argsort,
+and locate each of the 27 neighbor cells with ``searchsorted`` — all
+static shapes, no dynamic allocation. Candidates are returned as a
+fixed ``(N, 27·cap)`` index array + validity mask; downstream SPH sums
+reduce over that axis directly (no compaction pass needed on TPU).
+
+Hash collisions between distinct cells are possible (as in the
+reference's hash map); they only ever *add* candidates, which the
+radius mask then rejects — with the caveat that a pathological
+collision could crowd out true candidates within the per-cell cap, the
+same failure mode as the reference's ``maxParticlesPerCell``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# the reference's hash primes (NeighborhoodSearchSpatialHashing.h:12-19)
+_P1 = jnp.int32(73856093)
+_P2 = jnp.int32(19349663)
+_P3 = jnp.int32(83492791)
+
+
+def _cell_hash(cell: Array) -> Array:
+    """XOR-of-primes cell hash on int32 cell coords ``(..., 3)``."""
+    return (cell[..., 0] * _P1) ^ (cell[..., 1] * _P2) ^ (cell[..., 2] * _P3)
+
+
+def neighbor_candidates(x: Array, radius, cap_per_cell: int = 12):
+    """Candidate neighbor indices within the 27 cells around each point.
+
+    Args:
+      x: ``(N, 3)`` positions (fluid + boundary concatenated).
+      radius: search radius = cell size (the reference uses the SPH
+        support radius as the grid size).
+      cap_per_cell: static per-cell candidate cap (reference:
+        ``maxParticlesPerCell=50``; ~8 suffices at rest density).
+
+    Returns:
+      ``(idx (N, 27·cap), valid (N, 27·cap) bool)`` — ``valid`` already
+      includes the ``‖xᵢ−xⱼ‖ < radius`` test and excludes self.
+    """
+    n = x.shape[0]
+    inv = 1.0 / radius
+    cell = jnp.floor(x * inv).astype(jnp.int32)
+    h = _cell_hash(cell)
+    order = jnp.argsort(h)
+    h_sorted = h[order]
+
+    # 27 neighbor-cell hashes per particle
+    offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3),
+                                  indexing="ij"), -1).reshape(27, 3)
+    ncell = cell[:, None, :] + offs[None, :, :].astype(jnp.int32)
+    nh = _cell_hash(ncell)                       # (N, 27)
+
+    start = jnp.searchsorted(h_sorted, nh)       # (N, 27)
+    take = jnp.arange(cap_per_cell, dtype=jnp.int32)
+    pos = start[..., None] + take                # (N, 27, cap)
+    pos_c = jnp.minimum(pos, n - 1)
+    same_cell = h_sorted[pos_c] == nh[..., None]
+    in_range = pos < n
+    idx = order[pos_c].reshape(n, -1)            # (N, 27*cap)
+    valid = (same_cell & in_range).reshape(n, -1)
+
+    d = x[idx] - x[:, None, :]
+    dist2 = jnp.sum(d * d, -1)
+    valid = valid & (dist2 < radius * radius)
+    valid = valid & (idx != jnp.arange(n, dtype=idx.dtype)[:, None])
+    return idx, valid
