@@ -20,7 +20,11 @@ from ..solver.constraints import (
     DihedralBatch,
     DistanceBatch,
     FEMTetraBatch,
+    FEMTriangleBatch,
     IsometricBendingBatch,
+    ShapeMatchingBatch,
+    StrainTetraBatch,
+    StrainTriangleBatch,
     StretchShearBatch,
     VolumeBatch,
 )
@@ -174,6 +178,10 @@ class SceneBuilder:
     _iso_bending: list = field(default_factory=list)    # (idx, k, xpbd)
     _volume: list = field(default_factory=list)         # (idx, k, xpbd)
     _fem_tet: list = field(default_factory=list)        # (idx, E, nu)
+    _fem_tri: list = field(default_factory=list)        # (idx, Ex, Ey, Es, nuxy, nuyx)
+    _strain_tri: list = field(default_factory=list)     # (idx, kxx_yy(2), kxy(1), ns, nh)
+    _strain_tet: list = field(default_factory=list)     # (idx, ks(3), ksh(3), ns, nh)
+    _shape_matching: list = field(default_factory=list)  # (clusters list, stiffness)
     _stretch_shear: list = field(default_factory=list)  # (idx_p, idx_q, ks3)
     _bend_twist: list = field(default_factory=list)     # (idx_q, ks3)
 
@@ -469,9 +477,50 @@ class SceneBuilder:
         idx = np.asarray([[p0, p1, p2, p3]], np.int32)
         self._volume.append((idx, _bc(stiffness, 1), bool(xpbd)))
 
-    def add_fem_tet_constraint(self, p0, p1, p2, p3, youngs=1.0, poisson=0.3):
+    def add_fem_tet_constraint(self, p0, p1, p2, p3, youngs=1.0, poisson=0.3,
+                               xpbd=False):
+        """``addFEMTetConstraint`` / ``addFEMTetConstraint_XPBD``."""
         idx = np.asarray([[p0, p1, p2, p3]], np.int32)
-        self._fem_tet.append((idx, _bc(youngs, 1), _bc(poisson, 1)))
+        self._fem_tet.append((idx, _bc(youngs, 1), _bc(poisson, 1), bool(xpbd)))
+
+    def add_fem_triangle_constraint(self, p0, p1, p2, xx_stiffness=1.0,
+                                    yy_stiffness=1.0, xy_stiffness=1.0,
+                                    xy_poisson=0.3, yx_poisson=0.3):
+        """``addFEMTriangleConstraint`` (``SimulationModel.h``)."""
+        idx = np.asarray([[p0, p1, p2]], np.int32)
+        self._fem_tri.append((idx, _bc(xx_stiffness, 1), _bc(yy_stiffness, 1),
+                              _bc(xy_stiffness, 1), _bc(xy_poisson, 1),
+                              _bc(yx_poisson, 1)))
+
+    def add_strain_triangle_constraint(self, p0, p1, p2, xx_stiffness=1.0,
+                                       yy_stiffness=1.0, xy_stiffness=1.0,
+                                       normalize_stretch=False,
+                                       normalize_shear=False):
+        idx = np.asarray([[p0, p1, p2]], np.int32)
+        sk = np.stack([_bc(xx_stiffness, 1), _bc(yy_stiffness, 1)], axis=1)
+        self._strain_tri.append((idx, sk, _bc(xy_stiffness, 1)[:, None],
+                                 bool(normalize_stretch), bool(normalize_shear)))
+
+    def add_strain_tet_constraint(self, p0, p1, p2, p3, stretch_stiffness=1.0,
+                                  shear_stiffness=1.0, normalize_stretch=False,
+                                  normalize_shear=False):
+        idx = np.asarray([[p0, p1, p2, p3]], np.int32)
+        sk = np.broadcast_to(np.asarray(stretch_stiffness, np.float32),
+                             (1, 3)).copy()
+        sh = np.broadcast_to(np.asarray(shear_stiffness, np.float32),
+                             (1, 3)).copy()
+        self._strain_tet.append((idx, sk, sh, bool(normalize_stretch),
+                                 bool(normalize_shear)))
+
+    def add_shape_matching_constraint(self, particle_indices, stiffness=1.0,
+                                      num_clusters=None):
+        """One cluster (``addShapeMatchingConstraint``,
+        ``SimulationModel.h:228``); ``num_clusters`` optionally gives the
+        per-member cluster-membership counts used to average overlapping
+        clusters (solid method 5 passes ``vTets`` sizes)."""
+        self._shape_matching.append(
+            (list(map(int, particle_indices)), float(stiffness),
+             None if num_clusters is None else list(num_clusters)))
 
     def add_stretch_shear_constraint(self, i, j, qi, stiffness=(1.0, 1.0, 1.0)):
         ks = np.broadcast_to(np.asarray(stiffness, np.float32), (1, 3)).copy()
@@ -485,16 +534,37 @@ class SceneBuilder:
     # ---- high-level builders (SimulationModel.cpp:1125-1320) -------------
 
     def add_cloth_constraints(self, tm: TriModelHandle, method: int = 4,
-                              distance_stiffness: float = 1.0):
-        """Cloth method 1 = classic distance per edge, 4 = XPBD distance per
-        edge (``addClothConstraints``, ``SimulationModel.cpp:1125-1184``).
-        (Methods 2/3 — FEM/strain triangle — land with those kernels.)"""
-        if method not in (1, 4):
-            raise NotImplementedError(f"cloth method {method} not yet available")
-        idx = tm.mesh.edges + tm.offset
-        self._distance.append(
-            (idx.astype(np.int32), _bc(distance_stiffness, len(idx)),
-             method == 4))
+                              distance_stiffness: float = 1.0,
+                              xx_stiffness: float = 1.0,
+                              yy_stiffness: float = 1.0,
+                              xy_stiffness: float = 1.0,
+                              xy_poisson: float = 0.3,
+                              yx_poisson: float = 0.3,
+                              normalize_stretch: bool = False,
+                              normalize_shear: bool = False):
+        """Cloth method 1 = classic distance per edge, 2 = FEM triangle,
+        3 = strain triangle, 4 = XPBD distance per edge
+        (``addClothConstraints``, ``SimulationModel.cpp:1125-1184``)."""
+        if method in (1, 4):
+            idx = tm.mesh.edges + tm.offset
+            self._distance.append(
+                (idx.astype(np.int32), _bc(distance_stiffness, len(idx)),
+                 method == 4))
+        elif method == 2:
+            idx = (tm.mesh.faces + tm.offset).astype(np.int32)
+            n = len(idx)
+            self._fem_tri.append(
+                (idx, _bc(xx_stiffness, n), _bc(yy_stiffness, n),
+                 _bc(xy_stiffness, n), _bc(xy_poisson, n), _bc(yx_poisson, n)))
+        elif method == 3:
+            idx = (tm.mesh.faces + tm.offset).astype(np.int32)
+            n = len(idx)
+            sk = np.stack([_bc(xx_stiffness, n), _bc(yy_stiffness, n)], axis=1)
+            self._strain_tri.append(
+                (idx, sk, _bc(xy_stiffness, n)[:, None],
+                 bool(normalize_stretch), bool(normalize_shear)))
+        else:
+            raise NotImplementedError(f"unknown cloth method {method}")
 
     def add_bending_constraints(self, tm: TriModelHandle, method: int = 2,
                                 stiffness: float = 0.01):
@@ -511,24 +581,32 @@ class SceneBuilder:
 
     def add_solid_constraints(self, tm: TetModelHandle, method: int = 3,
                               stiffness: float = 1.0, poisson_ratio: float = 0.3,
-                              volume_stiffness: float = 1.0):
-        """1 = distance+volume, 3 = XPBD FEM, 5 = XPBD distance+volume,
-        6 = XPBD FEM + XPBD volume (``addSolidConstraints``,
-        ``SimulationModel.cpp:1242-1320``). Methods 2 (classic FEM) and 4
-        (shape matching) land with those kernels."""
+                              volume_stiffness: float = 1.0,
+                              normalize_stretch: bool = False,
+                              normalize_shear: bool = False):
+        """1 = distance+volume, 2 = classic FEM tet, 3 = XPBD FEM tet,
+        4 = strain tet, 5 = shape matching (one cluster per tet, corrections
+        averaged by per-vertex cluster counts), 6 = XPBD distance + XPBD
+        volume (``addSolidConstraints``, ``SimulationModel.cpp:1242-1320``)."""
         tets = (tm.mesh.tets + tm.offset).astype(np.int32)
-        if method in (1, 5):
-            xpbd = method == 5
+        n = len(tets)
+        if method in (1, 6):
+            xpbd = method == 6
             edges = (tm.mesh.edges + tm.offset).astype(np.int32)
             self._distance.append((edges, _bc(stiffness, len(edges)), xpbd))
-            self._volume.append((tets, _bc(volume_stiffness, len(tets)), xpbd))
-        elif method == 3:
-            self._fem_tet.append((tets, _bc(stiffness, len(tets)),
-                                  _bc(poisson_ratio, len(tets))))
-        elif method == 6:
-            self._fem_tet.append((tets, _bc(stiffness, len(tets)),
-                                  _bc(poisson_ratio, len(tets))))
-            self._volume.append((tets, _bc(volume_stiffness, len(tets)), True))
+            self._volume.append((tets, _bc(volume_stiffness, n), xpbd))
+        elif method in (2, 3):
+            self._fem_tet.append((tets, _bc(stiffness, n),
+                                  _bc(poisson_ratio, n), method == 3))
+        elif method == 4:
+            sk = np.broadcast_to(np.float32(stiffness), (n, 3)).copy()
+            self._strain_tet.append((tets, sk, sk.copy(),
+                                     bool(normalize_stretch),
+                                     bool(normalize_stretch)))
+        elif method == 5:
+            for row in tets:
+                self._shape_matching.append(
+                    (list(map(int, row)), float(stiffness), None))
         else:
             raise NotImplementedError(f"solid method {method} not yet available")
 
@@ -693,10 +771,61 @@ class SceneBuilder:
                 np.concatenate([c[1] for c in self._volume]),
                 xpbd_mode=xpbd_flags.pop())
         if self._fem_tet:
+            xpbd_flags = {c[3] for c in self._fem_tet}
+            if len(xpbd_flags) > 1:
+                raise ValueError("mixed XPBD/classic FEM tets in one scene")
             kw["fem_tetra"] = FEMTetraBatch.create(
                 np.concatenate([c[0] for c in self._fem_tet]), x,
                 np.concatenate([c[1] for c in self._fem_tet]),
-                np.concatenate([c[2] for c in self._fem_tet]))
+                np.concatenate([c[2] for c in self._fem_tet]),
+                xpbd_mode=xpbd_flags.pop())
+        if self._fem_tri:
+            kw["fem_triangle"] = FEMTriangleBatch.create(
+                np.concatenate([c[0] for c in self._fem_tri]), x,
+                np.concatenate([c[1] for c in self._fem_tri]),
+                np.concatenate([c[2] for c in self._fem_tri]),
+                np.concatenate([c[3] for c in self._fem_tri]),
+                np.concatenate([c[4] for c in self._fem_tri]),
+                np.concatenate([c[5] for c in self._fem_tri]))
+        if self._strain_tri:
+            flags = {(c[3], c[4]) for c in self._strain_tri}
+            if len(flags) > 1:
+                raise ValueError("mixed strain normalization flags")
+            ns, nh = flags.pop()
+            kw["strain_triangle"] = StrainTriangleBatch.create(
+                np.concatenate([c[0] for c in self._strain_tri]), x,
+                np.concatenate([c[1] for c in self._strain_tri]),
+                np.concatenate([c[2] for c in self._strain_tri]),
+                normalize_stretch=ns, normalize_shear=nh)
+        if self._strain_tet:
+            flags = {(c[3], c[4]) for c in self._strain_tet}
+            if len(flags) > 1:
+                raise ValueError("mixed strain normalization flags")
+            ns, nh = flags.pop()
+            kw["strain_tetra"] = StrainTetraBatch.create(
+                np.concatenate([c[0] for c in self._strain_tet]), x,
+                np.concatenate([c[1] for c in self._strain_tet]),
+                np.concatenate([c[2] for c in self._strain_tet]),
+                normalize_stretch=ns, normalize_shear=nh)
+        if self._shape_matching:
+            clusters = [c[0] for c in self._shape_matching]
+            stiff = np.array([c[1] for c in self._shape_matching], np.float32)
+            explicit_nc = [c[2] for c in self._shape_matching]
+            nc = None
+            if any(e is not None for e in explicit_nc):
+                kmax = max(len(cl) for cl in clusters)
+                nc = np.ones((len(clusters), kmax), np.float64)
+                counts = np.zeros((x.shape[0],), np.float64)
+                for cl in clusters:
+                    counts[list(cl)] += 1.0
+                for r, (cl, e) in enumerate(zip(clusters, explicit_nc)):
+                    vals = e if e is not None else counts[list(cl)]
+                    nc[r, :len(cl)] = vals
+            batch = ShapeMatchingBatch.create(clusters, x, stiff,
+                                              num_clusters=nc)
+            inv_m = np.where(self._masses() > 0.0, 1.0 /
+                             np.maximum(self._masses(), 1e-30), 0.0)
+            kw["shape_matching"] = batch.finalize(inv_m)
         if self._stretch_shear:
             idx_p = np.concatenate([c[0] for c in self._stretch_shear])
             idx_q = np.concatenate([c[1] for c in self._stretch_shear])

@@ -96,6 +96,67 @@ def _init_isometric_bending_np(p: np.ndarray) -> np.ndarray:
     return (coef[:, None, None] * np.einsum("ci,cj->cij", k, k)).astype(np.float32)
 
 
+def _init_fem_triangle_np(p: np.ndarray):
+    """Host-side batched init for FEM triangles — 2D rest-edge matrix in an
+    in-plane orthonormal basis (axis1 = normalized p1−p0, axis2 = n×axis1)
+    and rest area, per ``init_FEMTriangleConstraint``
+    (``PositionBasedDynamics.cpp:808-840``). ``p (C, 3, 3)``.
+    Returns ``(area (C,), inv_rest_mat (C, 2, 2))``."""
+    p = np.asarray(p, np.float64)
+    p0, p1, p2 = p[:, 0], p[:, 1], p[:, 2]
+    normal = np.cross(p1 - p0, p2 - p0)
+    area = 0.5 * np.linalg.norm(normal, axis=-1)
+    a1 = p1 - p0
+    a1 = a1 / np.maximum(np.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    a2 = np.cross(normal, a1)
+    a2 = a2 / np.maximum(np.linalg.norm(a2, axis=-1, keepdims=True), 1e-12)
+    # 2D coords (axis2·p, axis1·p); rest matrix cols are (p0−p2, p1−p2)
+    def proj(v):
+        return np.stack([(v * a2).sum(-1), (v * a1).sum(-1)], axis=-1)
+    c0 = proj(p0 - p2)
+    c1 = proj(p1 - p2)
+    rest = np.stack([c0, c1], axis=-1)  # (C, 2, 2)
+    det = np.linalg.det(rest)
+    bad = np.abs(det) < 1e-12
+    rest[bad] = np.eye(2)
+    inv = np.linalg.inv(rest)
+    inv[bad] = 0.0
+    return area.astype(np.float32), inv.astype(np.float32)
+
+
+def _init_strain_triangle_np(p: np.ndarray) -> np.ndarray:
+    """Host-side batched init for strain-based triangles: inverse of the
+    2×2 rest matrix built from the x/y components of (p1−p0, p2−p0) —
+    exactly the reference's planar convention
+    (``init_StrainTriangleConstraint``, ``PositionBasedDynamics.cpp:562-588``).
+    ``p (C, 3, 3)`` → ``(C, 2, 2)``."""
+    p = np.asarray(p, np.float64)
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    rest = np.stack([e1[:, :2], e2[:, :2]], axis=-1)  # (C, 2, 2)
+    det = np.linalg.det(rest)
+    bad = np.abs(det) < 1e-12
+    rest[bad] = np.eye(2)
+    inv = np.linalg.inv(rest)
+    inv[bad] = 0.0
+    return inv.astype(np.float32)
+
+
+def _init_strain_tetra_np(p: np.ndarray) -> np.ndarray:
+    """Inverse 3×3 rest matrix with columns (p1−p0, p2−p0, p3−p0)
+    (``init_StrainTetraConstraint``, ``PositionBasedDynamics.cpp:691-708``).
+    ``p (C, 4, 3)`` → ``(C, 3, 3)``."""
+    p = np.asarray(p, np.float64)
+    rest = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0],
+                     p[:, 3] - p[:, 0]], axis=-1)
+    det = np.linalg.det(rest)
+    bad = np.abs(det) < 1e-12
+    rest[bad] = np.eye(3)
+    inv = np.linalg.inv(rest)
+    inv[bad] = 0.0
+    return inv.astype(np.float32)
+
+
 def _quat_multiply_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Hamilton product on (..., 4) [w,x,y,z] numpy arrays."""
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
@@ -320,9 +381,10 @@ class VolumeBatch:
 @_register
 @dataclass(frozen=True)
 class FEMTetraBatch:
-    """XPBD FEM tetra constraints (St. Venant–Kirchhoff, inversion-safe) —
+    """FEM tetra constraints (St. Venant–Kirchhoff, inversion-safe) —
     batched ``XPBD_FEMTetConstraint`` (``Constraints.cpp:1851``; kernel
-    ``XPBD.cpp:217-294``)."""
+    ``XPBD.cpp:217-294``) when ``xpbd``, else the classic
+    ``FEMTetConstraint`` (kernel ``PositionBasedDynamics.cpp:1109-1170``)."""
 
     idx: Array            # (C, 4)
     rest_volume: Array    # (C,)
@@ -331,11 +393,12 @@ class FEMTetraBatch:
     poisson: Array        # (C,)
     color: Array
     num_colors: int = field(metadata=dict(static=True))
+    xpbd: bool = field(default=True, metadata=dict(static=True))
 
     k = 4
 
     @staticmethod
-    def create(idx, x0, youngs, poisson) -> "FEMTetraBatch":
+    def create(idx, x0, youngs, poisson, xpbd_mode: bool = True) -> "FEMTetraBatch":
         idx = np.asarray(idx, np.int32)
         color, num_colors = greedy_color(idx)
         c = idx.shape[0]
@@ -353,6 +416,7 @@ class FEMTetraBatch:
             inv_rest_mat=jnp.asarray(inv_rest, jnp.float32),
             youngs=_as_f32(youngs, (c,)), poisson=_as_f32(poisson, (c,)),
             color=jnp.asarray(color), num_colors=num_colors,
+            xpbd=bool(xpbd_mode),
         )
 
     def init_lambda(self) -> Array:
@@ -361,6 +425,13 @@ class FEMTetraBatch:
     def solve(self, x, inv_mass, lam, dt):
         p = x[self.idx]
         w = inv_mass[self.idx]
+        if not self.xpbd:
+            corr = jax.vmap(pbd.solve_fem_tetra_classic)(
+                p[:, 0], w[:, 0], p[:, 1], w[:, 1], p[:, 2], w[:, 2],
+                p[:, 3], w[:, 3],
+                self.rest_volume, self.inv_rest_mat, self.youngs, self.poisson,
+            )
+            return corr, lam
         corr, new_lam = jax.vmap(
             xpbd.solve_fem_tetra, in_axes=(0,) * 14
         )(
@@ -370,6 +441,262 @@ class FEMTetraBatch:
             jnp.broadcast_to(jnp.float32(dt), lam.shape), lam,
         )
         return corr, new_lam
+
+
+@_register
+@dataclass(frozen=True)
+class FEMTriangleBatch:
+    """Orthotropic St. Venant–Kirchhoff membrane triangles — batched
+    ``FEMTriangleConstraint`` (``Constraints.cpp``; kernel
+    ``PositionBasedDynamics.cpp:843-931``). Cloth method 2 of
+    ``addClothConstraints`` (``SimulationModel.cpp:1144-1156``)."""
+
+    idx: Array           # (C, 3)
+    area: Array          # (C,)
+    inv_rest_mat: Array  # (C, 2, 2)
+    youngs_x: Array      # (C,)
+    youngs_y: Array
+    youngs_shear: Array
+    poisson_xy: Array
+    poisson_yx: Array
+    color: Array
+    num_colors: int = field(metadata=dict(static=True))
+
+    k = 3
+
+    @staticmethod
+    def create(idx, x0, youngs_x, youngs_y, youngs_shear,
+               poisson_xy, poisson_yx) -> "FEMTriangleBatch":
+        idx = np.asarray(idx, np.int32)
+        color, num_colors = greedy_color(idx)
+        c = idx.shape[0]
+        area, inv = _init_fem_triangle_np(np.asarray(x0)[idx])
+        return FEMTriangleBatch(
+            idx=jnp.asarray(idx), area=jnp.asarray(area),
+            inv_rest_mat=jnp.asarray(inv),
+            youngs_x=_as_f32(youngs_x, (c,)), youngs_y=_as_f32(youngs_y, (c,)),
+            youngs_shear=_as_f32(youngs_shear, (c,)),
+            poisson_xy=_as_f32(poisson_xy, (c,)),
+            poisson_yx=_as_f32(poisson_yx, (c,)),
+            color=jnp.asarray(color), num_colors=num_colors,
+        )
+
+    def init_lambda(self) -> Array:
+        return jnp.zeros((0,), jnp.float32)
+
+    def solve(self, x, inv_mass, lam, dt):
+        p = x[self.idx]
+        w = inv_mass[self.idx]
+        corr = jax.vmap(pbd.solve_fem_triangle)(
+            p[:, 0], w[:, 0], p[:, 1], w[:, 1], p[:, 2], w[:, 2],
+            self.area, self.inv_rest_mat,
+            self.youngs_x, self.youngs_y, self.youngs_shear,
+            self.poisson_xy, self.poisson_yx,
+        )
+        return corr, lam
+
+
+@_register
+@dataclass(frozen=True)
+class StrainTriangleBatch:
+    """Strain-based-dynamics triangles (Müller 2014) — batched
+    ``StrainTriangleConstraint`` (kernel
+    ``PositionBasedDynamics.cpp:590-688``). Cloth method 3."""
+
+    idx: Array           # (C, 3)
+    inv_rest_mat: Array  # (C, 2, 2)
+    stretch_k: Array     # (C, 2) (xx, yy)
+    shear_k: Array       # (C, 1) (xy,)
+    color: Array
+    num_colors: int = field(metadata=dict(static=True))
+    normalize_stretch: bool = field(metadata=dict(static=True))
+    normalize_shear: bool = field(metadata=dict(static=True))
+
+    k = 3
+
+    @staticmethod
+    def create(idx, x0, stretch_k, shear_k, normalize_stretch=False,
+               normalize_shear=False) -> "StrainTriangleBatch":
+        idx = np.asarray(idx, np.int32)
+        color, num_colors = greedy_color(idx)
+        c = idx.shape[0]
+        inv = _init_strain_triangle_np(np.asarray(x0)[idx])
+        return StrainTriangleBatch(
+            idx=jnp.asarray(idx), inv_rest_mat=jnp.asarray(inv),
+            stretch_k=jnp.broadcast_to(
+                jnp.asarray(stretch_k, jnp.float32), (c, 2)),
+            shear_k=jnp.broadcast_to(
+                jnp.asarray(shear_k, jnp.float32).reshape(-1), (c, 1))
+            if np.ndim(shear_k) == 0 else
+            jnp.broadcast_to(jnp.asarray(shear_k, jnp.float32), (c, 1)),
+            color=jnp.asarray(color), num_colors=num_colors,
+            normalize_stretch=bool(normalize_stretch),
+            normalize_shear=bool(normalize_shear),
+        )
+
+    def init_lambda(self) -> Array:
+        return jnp.zeros((0,), jnp.float32)
+
+    def solve(self, x, inv_mass, lam, dt):
+        from functools import partial
+        p = x[self.idx]
+        w = inv_mass[self.idx]
+        fn = partial(pbd.solve_strain_triangle,
+                     normalize_stretch=self.normalize_stretch,
+                     normalize_shear=self.normalize_shear)
+        corr = jax.vmap(fn)(
+            p[:, 0], w[:, 0], p[:, 1], w[:, 1], p[:, 2], w[:, 2],
+            self.inv_rest_mat, self.stretch_k, self.shear_k,
+        )
+        return corr, lam
+
+
+@_register
+@dataclass(frozen=True)
+class StrainTetraBatch:
+    """Strain-based-dynamics tetrahedra — batched ``StrainTetConstraint``
+    (kernel ``PositionBasedDynamics.cpp:711-805``). Solid method 4 of
+    ``addSolidConstraints`` (``SimulationModel.cpp``)."""
+
+    idx: Array           # (C, 4)
+    inv_rest_mat: Array  # (C, 3, 3)
+    stretch_k: Array     # (C, 3)
+    shear_k: Array       # (C, 3)
+    color: Array
+    num_colors: int = field(metadata=dict(static=True))
+    normalize_stretch: bool = field(metadata=dict(static=True))
+    normalize_shear: bool = field(metadata=dict(static=True))
+
+    k = 4
+
+    @staticmethod
+    def create(idx, x0, stretch_k, shear_k, normalize_stretch=False,
+               normalize_shear=False) -> "StrainTetraBatch":
+        idx = np.asarray(idx, np.int32)
+        color, num_colors = greedy_color(idx)
+        c = idx.shape[0]
+        inv = _init_strain_tetra_np(np.asarray(x0)[idx])
+        return StrainTetraBatch(
+            idx=jnp.asarray(idx), inv_rest_mat=jnp.asarray(inv),
+            stretch_k=jnp.broadcast_to(
+                jnp.asarray(stretch_k, jnp.float32), (c, 3)),
+            shear_k=jnp.broadcast_to(
+                jnp.asarray(shear_k, jnp.float32), (c, 3)),
+            color=jnp.asarray(color), num_colors=num_colors,
+            normalize_stretch=bool(normalize_stretch),
+            normalize_shear=bool(normalize_shear),
+        )
+
+    def init_lambda(self) -> Array:
+        return jnp.zeros((0,), jnp.float32)
+
+    def solve(self, x, inv_mass, lam, dt):
+        from functools import partial
+        p = x[self.idx]
+        w = inv_mass[self.idx]
+        fn = partial(pbd.solve_strain_tetra,
+                     normalize_stretch=self.normalize_stretch,
+                     normalize_shear=self.normalize_shear)
+        corr = jax.vmap(fn)(
+            p[:, 0], w[:, 0], p[:, 1], w[:, 1], p[:, 2], w[:, 2],
+            p[:, 3], w[:, 3], self.inv_rest_mat,
+            self.stretch_k, self.shear_k,
+        )
+        return corr, lam
+
+
+@_register
+@dataclass(frozen=True)
+class ShapeMatchingBatch:
+    """Cluster shape matching — batched ``ShapeMatchingConstraint``
+    (``Constraints.h:459-491``; kernel ``PositionBasedDynamics.cpp:481-558``).
+    Clusters are padded to a fixed width K with ``mask``; per-slot corrections
+    are pre-scaled by 1/#clusters-containing-the-vertex exactly as solid
+    method 5 passes ``numClusters`` (``SimulationModel.cpp`` addSolidConstraints),
+    so the batch is *self-averaged*: the stepper must add corrections without
+    the Jacobi count division."""
+
+    idx: Array         # (C, K) int32, padded with 0
+    mask: Array        # (C, K) float32
+    inv_nc: Array      # (C, K) 1/#clusters per member (0 on pads)
+    x0_members: Array  # (C, K, 3) rest positions
+    rest_cm: Array     # (C, 3)
+    stiffness: Array   # (C,)
+    color: Array
+    num_colors: int = field(metadata=dict(static=True))
+
+    self_averaged = True
+
+    @staticmethod
+    def create(clusters, x0, stiffness, num_clusters=None) -> "ShapeMatchingBatch":
+        """``clusters``: list of index lists (or (C, K) array); ``num_clusters``
+        optional per-slot cluster counts (defaults to global membership
+        counts over all clusters, the reference's ``vTets`` sizes)."""
+        if isinstance(clusters, np.ndarray) and clusters.ndim == 2:
+            clusters = [list(r) for r in clusters]
+        kmax = max(len(c) for c in clusters)
+        cn = len(clusters)
+        idx = np.zeros((cn, kmax), np.int32)
+        mask = np.zeros((cn, kmax), np.float32)
+        for r, mem in enumerate(clusters):
+            idx[r, :len(mem)] = mem
+            mask[r, :len(mem)] = 1.0
+        x0 = np.asarray(x0, np.float64)
+        if num_clusters is None:
+            counts = np.zeros((x0.shape[0],), np.float64)
+            for mem in clusters:
+                counts[list(mem)] += 1.0
+            nc = counts[idx]
+        else:
+            nc = np.broadcast_to(np.asarray(num_clusters, np.float64),
+                                 idx.shape)
+        inv_nc = np.where(mask > 0, 1.0 / np.maximum(nc, 1.0), 0.0)
+        # color over cluster membership; pads get unique non-conflicting ids
+        conflict = idx.astype(np.int64).copy()
+        uid = x0.shape[0]
+        pads = mask == 0.0
+        conflict[pads] = uid + np.arange(pads.sum())
+        color, num_colors = greedy_color(conflict)
+        # rest center of mass with the kernel's m = mask/(w + EPS) weights;
+        # build() passes inv_mass so pinned particles anchor the cluster.
+        return ShapeMatchingBatch._finish(idx, mask, inv_nc, x0, stiffness,
+                                          color, num_colors)
+
+    @staticmethod
+    def _finish(idx, mask, inv_nc, x0, stiffness, color, num_colors):
+        from ..ops.mathutils import EPS as _EPS  # noqa: N811
+        cn = idx.shape[0]
+        return ShapeMatchingBatch(
+            idx=jnp.asarray(idx), mask=jnp.asarray(mask),
+            inv_nc=jnp.asarray(inv_nc, jnp.float32),
+            x0_members=jnp.asarray(x0[idx], jnp.float32),
+            rest_cm=jnp.zeros((cn, 3), jnp.float32),  # filled in finalize()
+            stiffness=_as_f32(stiffness, (cn,)),
+            color=jnp.asarray(color), num_colors=num_colors,
+        )
+
+    def finalize(self, inv_mass: np.ndarray) -> "ShapeMatchingBatch":
+        """Compute rest centers of mass using the final inverse masses
+        (must be called after pins are applied, as the reference's
+        ``initConstraint`` runs after ``setMass``)."""
+        from ..ops.mathutils import EPS as _EPS
+        w = np.asarray(inv_mass, np.float64)[np.asarray(self.idx)]
+        m = np.asarray(self.mask, np.float64) / (w + _EPS)
+        x0m = np.asarray(self.x0_members, np.float64)
+        cm = (m[..., None] * x0m).sum(1) / np.maximum(
+            m.sum(1)[:, None], 1e-30)
+        return dataclasses.replace(
+            self, rest_cm=jnp.asarray(cm, jnp.float32))
+
+    def init_lambda(self) -> Array:
+        return jnp.zeros((0,), jnp.float32)
+
+    def solve(self, x, inv_mass, lam, dt):
+        xs = x[self.idx]
+        ws = inv_mass[self.idx]
+        corr = jax.vmap(pbd.solve_shape_matching_cluster)(
+            xs, self.x0_members, ws, self.rest_cm, self.stiffness, self.mask)
+        return corr * self.inv_nc[..., None], lam
 
 
 # ---------------------------------------------------------------------------
@@ -470,7 +797,9 @@ class BendTwistBatch:
 # ---------------------------------------------------------------------------
 
 PARTICLE_BATCH_ORDER = (
-    "distance", "fem_tetra", "volume", "dihedral", "isometric_bending",
+    "distance", "fem_triangle", "strain_triangle", "fem_tetra",
+    "strain_tetra", "volume", "shape_matching", "dihedral",
+    "isometric_bending",
 )
 
 
@@ -485,8 +814,12 @@ class ConstraintSet:
     one per joint kind, solved after the particle/rod families."""
 
     distance: Optional[DistanceBatch] = None
+    fem_triangle: Optional[FEMTriangleBatch] = None
+    strain_triangle: Optional[StrainTriangleBatch] = None
     fem_tetra: Optional[FEMTetraBatch] = None
+    strain_tetra: Optional[StrainTetraBatch] = None
     volume: Optional[VolumeBatch] = None
+    shape_matching: Optional[ShapeMatchingBatch] = None
     dihedral: Optional[DihedralBatch] = None
     isometric_bending: Optional[IsometricBendingBatch] = None
     stretch_shear: Optional[StretchShearBatch] = None

@@ -62,19 +62,29 @@ def _jacobi_counts(n: int, idx: Array) -> Array:
 
 
 def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg):
-    """One projection pass of one particle-constraint family."""
+    """One projection pass of one particle-constraint family.
+
+    Batches marked ``self_averaged`` (shape matching) already fold the
+    per-vertex 1/#clusters division into their corrections — the
+    reference's explicit numClusters divide (``PositionBasedDynamics.cpp``
+    shape-matching solve) — so no Jacobi count division is applied."""
     n = x.shape[0]
+    self_avg = getattr(batch, "self_averaged", False)
     if cfg.solver_mode == "gauss_seidel":
         for color in range(batch.num_colors):
             corr, new_lam = batch.solve(x, inv_mass, lam, dt)
             m = batch.color == color
             corr = corr * m[:, None, None]
-            lam = jnp.where(m, new_lam, lam)
+            if new_lam.shape == lam.shape and lam.size:
+                lam = jnp.where(m, new_lam, lam)
             x = x + scatter_add(n, batch.idx, corr)
         return x, lam
     corr, lam = batch.solve(x, inv_mass, lam, dt)
     dx = scatter_add(n, batch.idx, corr)
-    x = x + (cfg.jacobi_omega / _jacobi_counts(n, batch.idx))[:, None] * dx
+    if self_avg:
+        x = x + cfg.jacobi_omega * dx
+    else:
+        x = x + (cfg.jacobi_omega / _jacobi_counts(n, batch.idx))[:, None] * dx
     return x, lam
 
 

@@ -143,3 +143,44 @@ def test_vmapped_rollout_batch():
     assert np.isfinite(x).all()
     # all batch members identical (same initial state)
     np.testing.assert_allclose(x[0], x[1])
+
+
+@pytest.mark.parametrize("method", [2, 3])
+def test_cloth_fem_and_strain_methods(method):
+    """Cloth methods 2 (FEM triangle) and 3 (strain triangle) of
+    ``addClothConstraints`` (SimulationModel.cpp:1144-1170): stable and
+    membrane strain bounded."""
+    n = 8
+    b = SceneBuilder()
+    # horizontal cloth (grid rotated into the xz plane) pinned at two
+    # corners; membrane constraints don't resist the out-of-plane sag.
+    rot = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
+    tm = b.add_regular_triangle_model(n, n, rotation=rot, scale=(1.0, 1.0))
+    b.set_mass(tm.offset, 0.0)
+    b.set_mass(tm.offset + n - 1, 0.0)
+    b.add_cloth_constraints(tm, method=method, xx_stiffness=1.0,
+                            yy_stiffness=1.0, xy_stiffness=1.0)
+    state, cset = b.build()
+    final, _ = jax.jit(lambda s: rollout(s, cset, StepConfig(), 100))(state)
+    x = np.asarray(final.particles.x)
+    assert np.isfinite(x).all()
+    # free region sagged below the pinned edge, bounded membrane strain
+    assert x[:, 1].mean() < -0.05
+    assert np.abs(x).max() < 5.0
+
+
+def test_shape_matching_translation_invariant():
+    """A rigidly-translated cluster is already matched: zero correction
+    (PositionBasedDynamics.cpp:501-558 — goal equals current positions)."""
+    from positionbaseddynamics_tpu.ops.pbd import solve_shape_matching_cluster
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(6, 3)).astype(np.float32)
+    w = np.ones(6, np.float32)
+    from positionbaseddynamics_tpu.ops.mathutils import EPS
+    m = 1.0 / (w + EPS)
+    cm0 = (m[:, None] * x0).sum(0) / m.sum()
+    x = x0 + np.float32([1.5, -0.3, 2.0])
+    corr = np.asarray(solve_shape_matching_cluster(
+        jnp.asarray(x), jnp.asarray(x0), jnp.asarray(w),
+        jnp.asarray(cm0), jnp.float32(1.0), jnp.ones(6)))
+    np.testing.assert_allclose(corr, 0.0, atol=1e-5)
