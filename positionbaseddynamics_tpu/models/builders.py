@@ -115,6 +115,9 @@ def regular_tet_grid(width: int, height: int, depth: int, translation=(0, 0, 0),
 class TriModelHandle:
     offset: int
     mesh: TriangleMesh
+    # (height, width) when the model is a regular grid — enables the
+    # structured-stencil fast path (``solver/grid_cloth.py``)
+    grid: Optional[Tuple[int, int]] = None
 
 
 @dataclass
@@ -147,8 +150,15 @@ class SceneBuilder:
     Usage mirrors the pyPBD canonical flow (``pyPBD/examples/cloth_model.py``):
     ``add_regular_triangle_model`` → ``set_mass(pin, 0)`` →
     ``add_cloth_constraints`` → ``add_bending_constraints`` → ``build()``.
+
+    ``use_structured_grid`` (default True) routes distance/isometric-bending
+    constraints of regular-grid cloths into the stencil fast path
+    (``solver/grid_cloth.py``) — identical Jacobi math, no device
+    gathers/scatters. Set False to force the generic unstructured batches
+    (required for ``gauss_seidel`` parity runs).
     """
 
+    use_structured_grid: bool = True
     _x: List[np.ndarray] = field(default_factory=list)
     _mass: List[np.ndarray] = field(default_factory=list)
     _q: List[np.ndarray] = field(default_factory=list)
@@ -184,6 +194,8 @@ class SceneBuilder:
     _shape_matching: list = field(default_factory=list)  # (clusters list, stiffness)
     _stretch_shear: list = field(default_factory=list)  # (idx_p, idx_q, ks3)
     _bend_twist: list = field(default_factory=list)     # (idx_q, ks3)
+    # structured grid cloth specs: offset -> {hw, distance, bending}
+    _grid_cloth_specs: dict = field(default_factory=dict)
 
     # ---- particles -------------------------------------------------------
 
@@ -219,7 +231,8 @@ class SceneBuilder:
                                    rotation=None, scale=(1.0, 1.0)) -> TriModelHandle:
         pts, faces = regular_triangle_grid(width, height, translation, rotation, scale)
         offset = self.add_particles(pts, 1.0)
-        return TriModelHandle(offset, TriangleMesh(len(pts), faces))
+        return TriModelHandle(offset, TriangleMesh(len(pts), faces),
+                              grid=(height, width))
 
     def add_triangle_model(self, points, faces, mass=1.0) -> TriModelHandle:
         points = np.asarray(points, np.float32)
@@ -546,6 +559,11 @@ class SceneBuilder:
         3 = strain triangle, 4 = XPBD distance per edge
         (``addClothConstraints``, ``SimulationModel.cpp:1125-1184``)."""
         if method in (1, 4):
+            if self.use_structured_grid and tm.grid is not None:
+                spec = self._grid_cloth_specs.setdefault(
+                    tm.offset, dict(hw=tm.grid, distance=None, bending=None))
+                spec["distance"] = (method, float(distance_stiffness))
+                return
             idx = tm.mesh.edges + tm.offset
             self._distance.append(
                 (idx.astype(np.int32), _bc(distance_stiffness, len(idx)),
@@ -571,6 +589,12 @@ class SceneBuilder:
         """1 = dihedral, 2 = isometric, 3 = XPBD isometric
         (``addBendingConstraints``, ``SimulationModel.cpp:1186-1240``)."""
         if method not in (1, 2, 3):
+            return
+        if (method in (2, 3) and self.use_structured_grid
+                and tm.grid is not None):
+            spec = self._grid_cloth_specs.setdefault(
+                tm.offset, dict(hw=tm.grid, distance=None, bending=None))
+            spec["bending"] = (method, float(stiffness))
             return
         idx = (tm.mesh.bending_stencils() + tm.offset).astype(np.int32)
         if method == 1:
@@ -838,7 +862,23 @@ class SceneBuilder:
                 np.concatenate([c[0] for c in self._bend_twist]), q0,
                 np.concatenate([c[1] for c in self._bend_twist]))
 
+        if self._grid_cloth_specs:
+            from ..solver.grid_cloth import GridClothBatch
+            gcs = []
+            for offset, spec in sorted(self._grid_cloth_specs.items()):
+                h, w = spec["hw"]
+                dist = spec["distance"]
+                bend = spec["bending"]
+                gcs.append(GridClothBatch.create(
+                    h, w, offset, x,
+                    distance_stiffness=None if dist is None else dist[1],
+                    bending_stiffness=None if bend is None else bend[1],
+                    xpbd_distance=dist is not None and dist[0] == 4,
+                    xpbd_bending=bend is not None and bend[0] == 3))
+            kw["grid_cloths"] = tuple(gcs)
+
         rigid = self._build_rigid()
         kw["joints"] = self._build_joints(x)
-        return (SimState.create(particles, orientations, rigid),
-                ConstraintSet(**kw))
+        cset = ConstraintSet(**kw).with_jacobi_counts(
+            x.shape[0], q0.shape[0] if q0 is not None else 0)
+        return SimState.create(particles, orientations, rigid), cset

@@ -628,10 +628,14 @@ class ShapeMatchingBatch:
     self_averaged = True
 
     @staticmethod
-    def create(clusters, x0, stiffness, num_clusters=None) -> "ShapeMatchingBatch":
+    def create(clusters, x0, stiffness, num_clusters=None,
+               inv_mass=None) -> "ShapeMatchingBatch":
         """``clusters``: list of index lists (or (C, K) array); ``num_clusters``
         optional per-slot cluster counts (defaults to global membership
-        counts over all clusters, the reference's ``vTets`` sizes)."""
+        counts over all clusters, the reference's ``vTets`` sizes).
+        ``inv_mass`` optionally provides final inverse masses so the rest
+        centers of mass are correct immediately (defaults to all-dynamic
+        unit masses); call :meth:`finalize` to re-weight later."""
         if isinstance(clusters, np.ndarray) and clusters.ndim == 2:
             clusters = [list(r) for r in clusters]
         kmax = max(len(c) for c in clusters)
@@ -658,19 +662,22 @@ class ShapeMatchingBatch:
         conflict[pads] = uid + np.arange(pads.sum())
         color, num_colors = greedy_color(conflict)
         # rest center of mass with the kernel's m = mask/(w + EPS) weights;
-        # build() passes inv_mass so pinned particles anchor the cluster.
-        return ShapeMatchingBatch._finish(idx, mask, inv_nc, x0, stiffness,
-                                          color, num_colors)
+        # build() re-finalizes with the true inverse masses so pinned
+        # particles anchor the cluster.
+        batch = ShapeMatchingBatch._finish(idx, mask, inv_nc, x0, stiffness,
+                                           color, num_colors)
+        w = (np.ones((x0.shape[0],)) if inv_mass is None
+             else np.asarray(inv_mass, np.float64))
+        return batch.finalize(w)
 
     @staticmethod
     def _finish(idx, mask, inv_nc, x0, stiffness, color, num_colors):
-        from ..ops.mathutils import EPS as _EPS  # noqa: N811
         cn = idx.shape[0]
         return ShapeMatchingBatch(
             idx=jnp.asarray(idx), mask=jnp.asarray(mask),
             inv_nc=jnp.asarray(inv_nc, jnp.float32),
             x0_members=jnp.asarray(x0[idx], jnp.float32),
-            rest_cm=jnp.zeros((cn, 3), jnp.float32),  # filled in finalize()
+            rest_cm=jnp.zeros((cn, 3), jnp.float32),  # set by finalize()
             stiffness=_as_f32(stiffness, (cn,)),
             color=jnp.asarray(color), num_colors=num_colors,
         )
@@ -696,6 +703,9 @@ class ShapeMatchingBatch:
         ws = inv_mass[self.idx]
         corr = jax.vmap(pbd.solve_shape_matching_cluster)(
             xs, self.x0_members, ws, self.rest_cm, self.stiffness, self.mask)
+        # only dynamic members receive corrections — the reference's
+        # ``m_w[i] != 0`` gate (ShapeMatchingConstraint::solvePositionConstraint)
+        corr = corr * (ws > 0.0)[..., None]
         return corr * self.inv_nc[..., None], lam
 
 
@@ -825,6 +835,34 @@ class ConstraintSet:
     stretch_shear: Optional[StretchShearBatch] = None
     bend_twist: Optional[BendTwistBatch] = None
     joints: Tuple = ()
+    grid_cloths: Tuple = ()   # structured-grid fast path (solver/grid_cloth.py)
+    # build-time-precomputed 1/#constraints-per-item Jacobi denominators,
+    # keyed by family name (+ "_q" suffix for quaternion items). Computed by
+    # with_jacobi_counts(); the stepper falls back to an in-graph scatter
+    # when a key is missing (hand-built ConstraintSets in tests).
+    jacobi_inv_counts: dict = field(default_factory=dict)
+
+    def with_jacobi_counts(self, n_particles: int,
+                           n_orientations: int = 0) -> "ConstraintSet":
+        """Precompute the averaged-Jacobi denominators 1/count for every
+        family at build time so they never enter the jitted hot loop (the
+        counts are static — they depend only on topology)."""
+        inv = {}
+
+        def add(key, n, idx):
+            c = _counts(n, np.asarray(idx))
+            inv[key] = jnp.asarray((1.0 / c)[:, None], jnp.float32)
+
+        for name, b in self.particle_batches():
+            if getattr(b, "self_averaged", False):
+                continue
+            add(name, n_particles, b.idx)
+        if self.stretch_shear is not None:
+            add("stretch_shear", n_particles, self.stretch_shear.idx_p)
+            add("stretch_shear_q", n_orientations, self.stretch_shear.idx_q)
+        if self.bend_twist is not None:
+            add("bend_twist_q", n_orientations, self.bend_twist.idx_q)
+        return dataclasses.replace(self, jacobi_inv_counts=inv)
 
     def particle_batches(self):
         return [
@@ -834,6 +872,9 @@ class ConstraintSet:
         ]
 
     def init_lambdas(self):
-        return {
+        lams = {
             name: b.init_lambda() for name, b in self.particle_batches()
         }
+        for i, gc in enumerate(self.grid_cloths):
+            lams[f"grid_cloth{i}"] = gc.init_lambda()
+        return lams

@@ -61,7 +61,16 @@ def _jacobi_counts(n: int, idx: Array) -> Array:
     )
 
 
-def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg):
+def _inv_counts(cset, key, n, idx):
+    """Precomputed 1/count column when available (build-time constant,
+    ``ConstraintSet.with_jacobi_counts``), else computed in-graph."""
+    pre = cset.jacobi_inv_counts.get(key)
+    if pre is not None and pre.shape[0] == n:
+        return pre
+    return (1.0 / _jacobi_counts(n, idx))[:, None]
+
+
+def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg, cset, name):
     """One projection pass of one particle-constraint family.
 
     Batches marked ``self_averaged`` (shape matching) already fold the
@@ -84,7 +93,7 @@ def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg):
     if self_avg:
         x = x + cfg.jacobi_omega * dx
     else:
-        x = x + (cfg.jacobi_omega / _jacobi_counts(n, batch.idx))[:, None] * dx
+        x = x + cfg.jacobi_omega * _inv_counts(cset, name, n, batch.idx) * dx
     return x, lam
 
 
@@ -105,8 +114,8 @@ def _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg):
                 q = quat.normalize(q)
         else:
             corr_p, corr_q = ss.solve(x, inv_mass, q, inv_mass_q)
-            cp = (cfg.jacobi_omega / _jacobi_counts(n, ss.idx_p))[:, None]
-            cq = (cfg.jacobi_omega / _jacobi_counts(m, ss.idx_q))[:, None]
+            cp = cfg.jacobi_omega * _inv_counts(cset, "stretch_shear", n, ss.idx_p)
+            cq = cfg.jacobi_omega * _inv_counts(cset, "stretch_shear_q", m, ss.idx_q)
             x = x + cp * scatter_add(n, ss.idx_p, corr_p)
             q = quat.normalize(q + cq * scatter_add(m, ss.idx_q[:, None], corr_q))
     bt = cset.bend_twist
@@ -119,7 +128,7 @@ def _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg):
                 q = quat.normalize(q)
         else:
             corr_q = bt.solve(q, inv_mass_q)
-            cq = (cfg.jacobi_omega / _jacobi_counts(m, bt.idx_q))[:, None]
+            cq = cfg.jacobi_omega * _inv_counts(cset, "bend_twist_q", m, bt.idx_q)
             q = quat.normalize(q + cq * scatter_add(m, bt.idx_q, corr_q))
     return x, q
 
@@ -192,10 +201,18 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
     rq = rigid.q if rigid is not None else None
     for k, jb in enumerate(cset.joints):
         lams[f"joint{k}"] = jb.init_lambda()
+    if cset.grid_cloths and cfg.solver_mode == "gauss_seidel":
+        raise ValueError(
+            "structured grid cloth supports the jacobi solver mode only; "
+            "build with SceneBuilder(use_structured_grid=False) for "
+            "gauss_seidel parity runs")
     for _ in range(cfg.max_iterations):
+        for gi, gc in enumerate(cset.grid_cloths):
+            x, lams[f"grid_cloth{gi}"] = gc.project(
+                x, inv_mass, lams[f"grid_cloth{gi}"], dt, cfg.jacobi_omega)
         for name, batch in cset.particle_batches():
             x, lams[name] = _project_particle_batch(
-                x, inv_mass, batch, lams[name], dt, cfg
+                x, inv_mass, batch, lams[name], dt, cfg, cset, name
             )
         if q is not None:
             x, q = _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg)

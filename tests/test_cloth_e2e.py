@@ -11,8 +11,9 @@ from positionbaseddynamics_tpu.models import SceneBuilder
 from positionbaseddynamics_tpu.solver import StepConfig, make_step_fn, rollout
 
 
-def build_cloth(n=10, method=4, stiffness=1e5, bending=True):
-    b = SceneBuilder()
+def build_cloth(n=10, method=4, stiffness=1e5, bending=True,
+                structured=False):
+    b = SceneBuilder(use_structured_grid=structured)
     tm = b.add_regular_triangle_model(n, n, scale=(2.0, 2.0))
     b.set_mass(tm.offset, 0.0)
     b.set_mass(tm.offset + n - 1, 0.0)
@@ -145,20 +146,17 @@ def test_vmapped_rollout_batch():
     np.testing.assert_allclose(x[0], x[1])
 
 
-@pytest.mark.parametrize("method", [2, 3])
-def test_cloth_fem_and_strain_methods(method):
-    """Cloth methods 2 (FEM triangle) and 3 (strain triangle) of
-    ``addClothConstraints`` (SimulationModel.cpp:1144-1170): stable and
-    membrane strain bounded."""
+def test_cloth_fem_method():
+    """Cloth method 2 (FEM triangle) of ``addClothConstraints``
+    (SimulationModel.cpp:1144-1156): stable and membrane strain bounded.
+    The FEM rest basis is built in-plane, so any cloth orientation works."""
     n = 8
     b = SceneBuilder()
-    # horizontal cloth (grid rotated into the xz plane) pinned at two
-    # corners; membrane constraints don't resist the out-of-plane sag.
     rot = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
     tm = b.add_regular_triangle_model(n, n, rotation=rot, scale=(1.0, 1.0))
     b.set_mass(tm.offset, 0.0)
     b.set_mass(tm.offset + n - 1, 0.0)
-    b.add_cloth_constraints(tm, method=method, xx_stiffness=1.0,
+    b.add_cloth_constraints(tm, method=2, xx_stiffness=1.0,
                             yy_stiffness=1.0, xy_stiffness=1.0)
     state, cset = b.build()
     final, _ = jax.jit(lambda s: rollout(s, cset, StepConfig(), 100))(state)
@@ -166,6 +164,38 @@ def test_cloth_fem_and_strain_methods(method):
     assert np.isfinite(x).all()
     # free region sagged below the pinned edge, bounded membrane strain
     assert x[:, 1].mean() < -0.05
+    assert np.abs(x).max() < 5.0
+
+
+def test_cloth_strain_method():
+    """Cloth method 3 (strain triangle, SimulationModel.cpp:1158-1170).
+    The reference builds the rest matrix from global x/y components
+    (init_StrainTriangleConstraint), so the cloth must lie in the xy
+    plane; gravity pulls along −z out of plane and the in-plane membrane
+    resists stretching."""
+    n = 8
+    b = SceneBuilder()
+    tm = b.add_regular_triangle_model(n, n, scale=(1.0, 1.0))
+    b.set_mass(tm.offset, 0.0)
+    b.set_mass(tm.offset + n - 1, 0.0)
+    b.add_cloth_constraints(tm, method=3, xx_stiffness=1.0,
+                            yy_stiffness=1.0, xy_stiffness=1.0)
+    state, cset = b.build()
+    # non-singular planar rest matrices: the kernel is actually live
+    inv = np.asarray(cset.strain_triangle.inv_rest_mat)
+    assert (np.abs(np.linalg.det(inv)) > 1e-6).all()
+    cfg = StepConfig(gravity=(0.0, 0.0, -9.81))
+    final, _ = jax.jit(lambda s: rollout(s, cset, cfg, 100))(state)
+    x = np.asarray(final.particles.x)
+    assert np.isfinite(x).all()
+    # sagged out of plane but in-plane strain bounded by the constraints
+    assert x[:, 2].mean() < -0.05
+    e = np.asarray(cset.strain_triangle.idx)
+    p = x[e]  # (C, 3, 3)
+    d01 = np.linalg.norm(p[:, 1] - p[:, 0], axis=-1)
+    x0 = np.asarray(state.particles.x)[e]
+    r01 = np.linalg.norm(x0[:, 1] - x0[:, 0], axis=-1)
+    assert np.abs(d01 / r01 - 1.0).max() < 0.25
     assert np.abs(x).max() < 5.0
 
 
