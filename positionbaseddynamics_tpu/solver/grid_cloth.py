@@ -232,8 +232,11 @@ class GridClothBatch:
         return acc.at[1:, :-1].add(cb * (1.0 - hp))
 
     def _bend_points(self, g, fam, hp):
-        """Returns (xs (Fh, Fw, 4, 3) in internal [a, b, f0, f1] order,
-        scatter closure)."""
+        """Returns (list of 4 point grids ``[a, b, f0, f1]`` — internal
+        [p2, p3, p0, p1] order, each (Fh, Fw, 3) — and a scatter closure
+        taking the matching list of 4 correction grids). Kept as separate
+        arrays, never stacked: a (…, 4, k) axis would put tiny dims in
+        lanes and block VPU vectorization on TPU."""
         if fam == "bh":
             # helper(i, j) for i in 1..H-2 — hp has quad-grid shape (H-1, W-1)
             p = hp[1:, :]
@@ -242,7 +245,7 @@ class GridClothBatch:
             f1 = p * g[:-2, 1:] + (1.0 - p) * g[:-2, :-1]
 
             def scatter(acc, c):
-                ca, cb, c0, c1 = c[..., 0, :], c[..., 1, :], c[..., 2, :], c[..., 3, :]
+                ca, cb, c0, c1 = c
                 acc = acc.at[1:-1, :-1].add(ca).at[1:-1, 1:].add(cb)
                 acc = acc.at[2:, 1:].add(c0 * p).at[2:, :-1].add(c0 * (1 - p))
                 return acc.at[:-2, 1:].add(c1 * p).at[:-2, :-1].add(c1 * (1 - p))
@@ -253,7 +256,7 @@ class GridClothBatch:
             f1 = p * g[1:, :-2] + (1.0 - p) * g[:-1, :-2]
 
             def scatter(acc, c):
-                ca, cb, c0, c1 = c[..., 0, :], c[..., 1, :], c[..., 2, :], c[..., 3, :]
+                ca, cb, c0, c1 = c
                 acc = acc.at[:-1, 1:-1].add(ca).at[1:, 1:-1].add(cb)
                 acc = acc.at[1:, 2:].add(c0 * p).at[:-1, 2:].add(c0 * (1 - p))
                 return acc.at[1:, :-2].add(c1 * p).at[:-1, :-2].add(c1 * (1 - p))
@@ -265,13 +268,12 @@ class GridClothBatch:
             f1 = p * g[1:, :-1] + (1.0 - p) * g[1:, 1:]
 
             def scatter(acc, c):
-                ca, cb, c0, c1 = c[..., 0, :], c[..., 1, :], c[..., 2, :], c[..., 3, :]
+                ca, cb, c0, c1 = c
                 acc = acc.at[:-1, :-1].add(ca * p).at[:-1, 1:].add(ca * (1 - p))
                 acc = acc.at[1:, 1:].add(cb * p).at[1:, :-1].add(cb * (1 - p))
                 acc = acc.at[:-1, 1:].add(c0 * p).at[:-1, :-1].add(c0 * (1 - p))
                 return acc.at[1:, :-1].add(c1 * p).at[1:, 1:].add(c1 * (1 - p))
-        xs = jnp.stack([a, b, f0, f1], axis=-2)  # internal [p2, p3, p0, p1]
-        return xs, scatter
+        return [a, b, f0, f1], scatter
 
     # -- solve passes --------------------------------------------------------
 
@@ -316,12 +318,25 @@ class GridClothBatch:
         new_lams = {}
         for fam in self.q_mat:
             xs, scatter = self._bend_points(g, fam, hp)
-            ws, _ = self._bend_points(wg, fam, hp)
-            ws = ws[..., 0]                                   # (Fh, Fw, 4)
+            ws4, _ = self._bend_points(wg, fam, hp)           # 4× (Fh, Fw, 1)
             q = self.q_mat[fam]
-            grad = jnp.einsum("...jk,...kd->...jd", q, xs)
-            energy = 0.5 * jnp.einsum("...jd,...jd->...", grad, xs)
-            sum_norm = jnp.sum(ws * jnp.sum(grad * grad, -1), -1)
+            # grad_j = Σ_k Q_jk x_k, unrolled over the 4×4 stencil so every
+            # op is a full (Fh, Fw, 3) VPU vector op — a (…, 4, 4)×(…, 4, 3)
+            # einsum compiles to a tiny-batched MXU matmul ~100× off
+            # speed-of-light on TPU (measured: 24 ms → sub-ms for the pass).
+            grad = []
+            for j in range(4):
+                gj = q[..., j, 0, None] * xs[0]
+                for k in range(1, 4):
+                    gj = gj + q[..., j, k, None] * xs[k]
+                grad.append(gj)
+            energy = 0.0
+            sum_norm = 0.0
+            for j in range(4):
+                energy = energy + jnp.sum(grad[j] * xs[j], -1)
+                sum_norm = sum_norm + ws4[j][..., 0] * jnp.sum(
+                    grad[j] * grad[j], -1)
+            energy = 0.5 * energy
             if self.xpbd_bending:
                 stiffk = self.bend_stiff[fam]
                 alpha = jnp.where(stiffk != 0.0, 1.0 / (stiffk * dt * dt), 0.0)
@@ -335,7 +350,7 @@ class GridClothBatch:
                 dlam = jnp.where(valid, -self.bend_stiff[fam] * energy
                                  / jnp.where(valid, sum_norm, 1.0), 0.0)
                 new_lams[fam] = lams[fam]
-            corr = dlam[..., None, None] * ws[..., None] * grad
+            corr = [dlam[..., None] * ws4[j] * grad[j] for j in range(4)]
             acc = scatter(acc, corr)
         return g + omega * self.inv_cnt_bend * acc, new_lams
 
