@@ -45,6 +45,8 @@ class StepConfig:
     max_iterations: int = 1
     max_iterations_v: int = 5
     velocity_update_method: int = 0  # 0: first order, 1: second order
+    damping: float = 0.0  # per-substep v *= (1-damping), the ghost-rod
+    # stepper's damping knob (PositionBasedElasticRodsTSC.cpp:63,73)
     gravity: tuple = (0.0, -9.81, 0.0)
     solver_mode: str = "jacobi"      # "jacobi" | "gauss_seidel"
     jacobi_omega: float = 1.0        # SOR weight for averaged Jacobi
@@ -267,6 +269,8 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig) -> SimSta
         )
     else:
         v = integration.velocity_update_first_order(h, p.inv_mass, x, old_x, v)
+    if cfg.damping:
+        v = v * (1.0 - cfg.damping)
 
     particles = dataclasses.replace(
         p, x=x, v=v, old_x=old_x, last_x=last_x
