@@ -54,6 +54,13 @@ class RigidCollider:
     verts: Array = None          # (V, 3) body-frame surface samples
     restitution: Array = None    # scalar
     friction: Array = None       # scalar
+    # optional body-frame -> shape-frame transform for mesh-built bodies
+    # whose state was re-baked into the principal/COM frame while the
+    # shape stays in the original scaled mesh frame: p_shape =
+    # frame_rot @ p_body + frame_t (the reference's m_q_mat /
+    # updateInverseTransformation bookkeeping, RigidBody.h:172-188)
+    frame_rot: Array = None      # (3, 3)
+    frame_t: Array = None        # (3,)
 
 
 @_register
@@ -173,9 +180,14 @@ class CollisionPipeline:
 
     def _world_to_local(self, co: RigidCollider, rx, rq, pts_w):
         r = quat.to_matrix(rq[co.body])
-        return (pts_w - rx[co.body]) @ r  # Rᵀ(p - x)
+        xl = (pts_w - rx[co.body]) @ r  # Rᵀ(p - x), body frame
+        if co.frame_rot is not None:
+            xl = xl @ co.frame_rot.T + co.frame_t  # shape frame
+        return xl
 
     def _local_to_world_dir(self, co: RigidCollider, rq, d):
+        if co.frame_rot is not None:
+            d = d @ co.frame_rot  # shape frame -> body frame
         r = quat.to_matrix(rq[co.body])
         return d @ r.T
 

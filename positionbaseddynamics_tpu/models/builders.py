@@ -181,6 +181,9 @@ class SceneBuilder:
     # collision objects (built into a CollisionPipeline separately)
     _rb_colliders: list = field(default_factory=list)
     _pg_colliders: list = field(default_factory=list)
+    # mesh-built bodies: body index -> dict(frame_rot, frame_t, verts)
+    # (main-axis re-bake bookkeeping; see add_rigid_body_from_mesh)
+    _rb_mesh_frames: dict = field(default_factory=dict)
 
     # constraint chunk accumulators: lists of (idx array, param arrays...)
     _distance: list = field(default_factory=list)       # (idx, k, xpbd)
@@ -297,6 +300,53 @@ class SceneBuilder:
         self._rb_inertia.append(np.asarray(inertia, np.float64))
         return len(self._rb_x) - 1
 
+    def add_rigid_body_from_mesh(self, vertices, faces, density=1.0,
+                                 translation=(0.0, 0.0, 0.0),
+                                 q=(1.0, 0.0, 0.0, 0.0),
+                                 scale=(1.0, 1.0, 1.0),
+                                 is_dynamic=True,
+                                 velocity=(0.0, 0.0, 0.0),
+                                 omega=(0.0, 0.0, 0.0)) -> int:
+        """Add a rigid body whose mass, center of mass and inertia come
+        from its (closed) triangle mesh at the given density —
+        ``RigidBody::initBody(density, …)`` + ``determineMassProperties``
+        (``Simulation/RigidBody.h:122-151,211-260``).
+
+        The body state is re-expressed in the principal (main-axis) frame
+        about the COM exactly as the reference does: position ← world COM,
+        orientation ← scene rotation × principal rotation, inertia ←
+        principal moments. The original scaled mesh frame (where analytic
+        collision shapes and baked SDF grids are defined) is recorded so
+        ``add_collision_object`` can attach shapes with the correct frame
+        offset (the reference's ``m_q_mat``/``updateInverseTransformation``
+        bookkeeping, ``RigidBody.h:172-188``)."""
+        from ..utils import npquat
+        from ..utils.massprops import mass_properties, principal_frame
+
+        verts = np.asarray(vertices, np.float64) * np.asarray(scale,
+                                                              np.float64)
+        mass, com, inertia = mass_properties(verts, faces, density)
+        eigs, rd = principal_frame(inertia)
+
+        qn = np.asarray(q, np.float64)
+        qn = qn / max(np.linalg.norm(qn), 1e-300)
+        r0 = npquat.to_matrix(qn)
+        x0 = np.asarray(translation, np.float64)
+
+        world_com = r0 @ com + x0
+        q_body = npquat.from_matrix(r0 @ rd)
+        body = self.add_rigid_body(
+            world_com, q=q_body,
+            mass=(float(mass) if is_dynamic else 0.0),
+            inertia=eigs, velocity=velocity, omega=omega)
+        self._rb_mesh_frames[body] = dict(
+            # body (principal/COM) frame -> scaled mesh frame:
+            # p_mesh = rd @ p_body + com
+            frame_rot=rd.astype(np.float32), frame_t=com.astype(np.float32),
+            verts=((verts - com) @ rd).astype(np.float32),
+            faces=np.asarray(faces, np.int32))
+        return body
+
     def _add_joint(self, kind, rb0, rb1, **params):
         self._joints.append(dict(kind=kind, bodies=(int(rb0), int(rb1)),
                                  **params))
@@ -398,22 +448,33 @@ class SceneBuilder:
         from ..collision.sdf import (
             BOX, CYLINDER, SPHERE, TORUS, HOLLOW_BOX, HOLLOW_SPHERE)
 
+        mesh_frame = self._rb_mesh_frames.get(int(rb))
         if verts is None:
-            k = shape.kind
-            p = np.asarray(shape.params)
-            if k == SPHERE:
-                verts = sampling.sample_sphere(float(p[0]))
-            elif k in (BOX, HOLLOW_BOX):
-                verts = sampling.sample_box(p[:3])
-            elif k == CYLINDER:
-                verts = sampling.sample_cylinder(float(p[0]), 2 * float(p[1]))
-            elif k == TORUS:
-                verts = sampling.sample_torus(float(p[0]), float(p[1]))
-            elif k == HOLLOW_SPHERE:
-                verts = sampling.sample_sphere(float(p[0]) + float(p[1]))
+            if mesh_frame is not None:
+                # mesh-built body: its own (body-frame) mesh vertices are
+                # the point-side samples, as the reference passes
+                # getVertexDataLocal() to addCollision* (SceneLoaderDemo)
+                verts = mesh_frame["verts"]
+            else:
+                k = shape.kind
+                p = np.asarray(shape.params)
+                if k == SPHERE:
+                    verts = sampling.sample_sphere(float(p[0]))
+                elif k in (BOX, HOLLOW_BOX):
+                    verts = sampling.sample_box(p[:3])
+                elif k == CYLINDER:
+                    verts = sampling.sample_cylinder(float(p[0]),
+                                                     2 * float(p[1]))
+                elif k == TORUS:
+                    verts = sampling.sample_torus(float(p[0]), float(p[1]))
+                elif k == HOLLOW_SPHERE:
+                    verts = sampling.sample_sphere(float(p[0]) + float(p[1]))
         self._rb_colliders.append(dict(
             body=int(rb), shape=shape,
             verts=None if verts is None else np.asarray(verts, np.float32),
+            frame_rot=(None if mesh_frame is None
+                       else mesh_frame["frame_rot"]),
+            frame_t=None if mesh_frame is None else mesh_frame["frame_t"],
             restitution=float(restitution), friction=float(friction)))
 
     def add_collision_sphere(self, rb, radius, **kw):
@@ -457,6 +518,10 @@ class SceneBuilder:
             RigidCollider(
                 body=c["body"], shape=c["shape"],
                 verts=None if c["verts"] is None else jnp.asarray(c["verts"]),
+                frame_rot=(None if c.get("frame_rot") is None
+                           else jnp.asarray(c["frame_rot"])),
+                frame_t=(None if c.get("frame_t") is None
+                         else jnp.asarray(c["frame_t"])),
                 restitution=jnp.float32(c["restitution"]),
                 friction=jnp.float32(c["friction"]))
             for c in self._rb_colliders)
