@@ -506,18 +506,35 @@ class SceneBuilder:
             offset=handle.offset, count=int(handle.mesh.n_vertices),
             restitution=float(restitution), friction=float(friction)))
 
-    def build_collision_pipeline(self, tolerance=0.01):
+    def build_collision_pipeline(self, tolerance=0.01,
+                                 max_collider_verts=512):
         """Freeze accumulated colliders into a jit-ready
         ``CollisionPipeline`` (pass it to ``solver.step``/``rollout``).
-        Default tolerance 0.01 per ``CollisionDetection.cpp:25``."""
+        Default tolerance 0.01 per ``CollisionDetection.cpp:25``.
+
+        Pairs where *both* bodies are static are dropped (nothing can
+        move), and point-side sample clouds larger than
+        ``max_collider_verts`` are deterministically subsampled — the
+        dense masked narrow phase evaluates every (vert, SDF) candidate,
+        so this bounds per-pair work the way the reference's BVH pruning
+        bounds traversal (``DistanceFieldCollisionDetection.cpp:26-199``).
+        Pass ``max_collider_verts=None`` to keep full meshes."""
         import jax.numpy as jnp
 
         from ..collision import CollisionPipeline, ParticleGroupCollider, RigidCollider
 
+        def _sub(v):
+            if (v is None or max_collider_verts is None
+                    or len(v) <= max_collider_verts):
+                return v
+            sel = np.linspace(0, len(v) - 1, max_collider_verts).astype(int)
+            return v[sel]
+
         rcs = tuple(
             RigidCollider(
                 body=c["body"], shape=c["shape"],
-                verts=None if c["verts"] is None else jnp.asarray(c["verts"]),
+                verts=(None if c["verts"] is None
+                       else jnp.asarray(_sub(c["verts"]))),
                 frame_rot=(None if c.get("frame_rot") is None
                            else jnp.asarray(c["frame_rot"])),
                 frame_t=(None if c.get("frame_t") is None
@@ -525,13 +542,21 @@ class SceneBuilder:
                 restitution=jnp.float32(c["restitution"]),
                 friction=jnp.float32(c["friction"]))
             for c in self._rb_colliders)
+        # ordered (point side i, sdf side j) candidate pairs; skip pairs of
+        # two static bodies — no contact response is possible
+        dyn = [self._rb_mass[c["body"]] != 0.0 for c in self._rb_colliders]
+        rb_pairs = tuple(
+            (i, j)
+            for i in range(len(rcs)) for j in range(len(rcs))
+            if i != j and rcs[i].verts is not None and (dyn[i] or dyn[j]))
         pgs = tuple(
             ParticleGroupCollider(
                 offset=c["offset"], count=c["count"],
                 restitution=jnp.float32(c["restitution"]),
                 friction=jnp.float32(c["friction"]))
             for c in self._pg_colliders)
-        return CollisionPipeline.create(rcs, pgs, tolerance=tolerance)
+        return CollisionPipeline.create(rcs, pgs, tolerance=tolerance,
+                                        rb_pairs=rb_pairs)
 
     # ---- low-level constraint adders (SimulationModel.h:186-249) ---------
     # Scalar and bulk (array) forms share the same chunk accumulators.

@@ -1,0 +1,104 @@
+"""Scene JSON loader end-to-end: the reference's shipped scenes load,
+build, and run headless with finite, physically sane trajectories —
+BASELINE.md configs 4 (PileScene) and 5 (ArmadilloCollisionScene) plus
+ClothOnBunny (SceneLoaderDemo.cpp:47-105 equivalents)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from positionbaseddynamics_tpu.scene import load_scene
+from positionbaseddynamics_tpu.solver import make_step_fn
+
+SCENES = "/root/reference/data/scenes"
+CACHE = "/tmp/pbd_tpu_test_sdf_cache"
+
+
+def _run(scene, n_steps):
+    fn = make_step_fn(scene.cset, scene.config, scene.pipeline)
+    state = scene.state
+    for _ in range(n_steps):
+        state = fn(state)
+    return jax.block_until_ready(state)
+
+
+@pytest.fixture(scope="module")
+def pile_scene():
+    return load_scene(f"{SCENES}/PileScene.json", cache_dir=CACHE,
+                      max_sdf_resolution=14)
+
+
+def test_pile_scene_loads(pile_scene):
+    s = pile_scene
+    # 25 static cylinders + 1 static floor load; the 6 armadillo bodies
+    # reference a mesh absent from the repo and are skipped like the
+    # reference demo does; 2 dynamic bunnies with baked SDFs remain
+    assert len(s.rigid_ids) == 28
+    inv_m = np.asarray(s.state.rigid.inv_mass)
+    assert (inv_m > 0).sum() == 2          # the two bunnies
+    assert s.pipeline is not None and s.pipeline.active
+    assert s.config.dt == 0.005
+    assert s.config.max_iterations == 5    # "maxIter" alias
+    # static-static pairs are pruned
+    for (i, j) in s.pipeline.rb_pairs:
+        ca = s.pipeline.rigid_colliders[i]
+        cb = s.pipeline.rigid_colliders[j]
+        assert inv_m[ca.body] > 0 or inv_m[cb.body] > 0
+
+
+def test_pile_scene_runs(pile_scene):
+    s = pile_scene
+    y0 = np.asarray(s.state.rigid.x)[:, 1].copy()
+    state = _run(s, 40)
+    x = np.asarray(state.rigid.x)
+    assert np.isfinite(x).all()
+    inv_m = np.asarray(state.rigid.inv_mass)
+    dyn = inv_m > 0
+    # dynamic bunnies fall under gravity; statics don't move
+    assert (x[dyn, 1] < y0[dyn] - 0.005).all()
+    np.testing.assert_allclose(x[~dyn], np.asarray(s.state.rigid.x)[~dyn],
+                               atol=1e-6)
+
+
+def test_armadillo_scene_loads_and_runs():
+    s = load_scene(f"{SCENES}/ArmadilloCollisionScene.json", cache_dir=CACHE)
+    assert len(s.tet_models) == 3
+    assert len(s.rigid_ids) == 1           # static floor box
+    # solid method from "tetModelSimulationMethod": 2 -> classic FEM tet
+    assert s.cset.fem_tetra is not None
+    n_parts = np.asarray(s.state.particles.x).shape[0]
+    assert n_parts == 3 * 1180
+    y0 = np.asarray(s.state.particles.x)[:, 1].copy()
+    state = _run(s, 30)
+    x = np.asarray(state.particles.x)
+    assert np.isfinite(x).all()
+    # every armadillo is in free fall onto the floor
+    assert x[:, 1].mean() < y0.mean() - 0.01
+    # FEM keeps the models coherent: no particle flies away
+    assert np.abs(x).max() < 50.0
+
+
+def test_cloth_on_bunny_loads_and_runs():
+    s = load_scene(f"{SCENES}/ClothOnBunny.json", cache_dir=CACHE,
+                   max_sdf_resolution=20)
+    assert len(s.tri_models) == 1
+    _, h = s.tri_models[0]
+    assert h.mesh.n_vertices == 51 * 51   # plane_50x50.obj = 50x50 quads
+    y0 = np.asarray(s.state.particles.x)[:, 1].copy()
+    state = _run(s, 30)
+    x = np.asarray(state.particles.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].mean() < y0.mean()      # cloth falls
+    # the bunny SDF holds the center of the cloth up: it cannot all fall
+    # below the bunny's top (bunny scaled 4x at translation (5, 1, 0))
+    assert x[:, 1].max() > 1.0
+
+
+def test_deformable_solid_collision_scene():
+    s = load_scene(f"{SCENES}/DeformableSolidCollisionScene.json",
+                   cache_dir=CACHE, max_sdf_resolution=12)
+    state = _run(s, 25)
+    assert np.isfinite(np.asarray(state.particles.x)).all()
+    assert np.isfinite(np.asarray(state.rigid.x)).all()
