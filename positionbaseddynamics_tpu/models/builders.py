@@ -433,6 +433,22 @@ class SceneBuilder:
     def add_rigid_body_particle_ball_joint(self, rb, particle):
         self._add_joint("rb_particle_ball", rb, particle)
 
+    def add_stretch_bending_twisting_constraint(self, rb0, rb1, pos,
+                                                average_radius,
+                                                average_segment_length,
+                                                youngs_modulus,
+                                                torsion_modulus):
+        """Iterative 6D-XPBD zero-stretch + bend/twist joint between two
+        rod-segment rigid bodies (``addStretchBendingTwistingConstraint``;
+        kernel ``PositionBasedElasticRods.cpp:1136-1363``)."""
+        self._add_joint(
+            "stretch_bending_twisting", rb0, rb1,
+            positions=np.asarray(pos, np.float64),
+            rest=float(average_segment_length),
+            directions=np.asarray(
+                [average_radius, youngs_modulus, torsion_modulus],
+                np.float64))
+
     # ---- collision objects (DistanceFieldCollisionDetection add*) --------
 
     def add_collision_object(self, rb: int, shape, verts=None,
@@ -810,6 +826,9 @@ class SceneBuilder:
             if "stiffness" in js[0]:
                 kwargs["stiffness"] = np.array(
                     [j["stiffness"] for j in js], np.float64)
+            if "rest" in js[0]:
+                kwargs["rest"] = np.array(
+                    [j["rest"] for j in js], np.float64)
             if "target" in js[0]:
                 kwargs["target"] = np.array(
                     [j["target"] for j in js], np.float64)

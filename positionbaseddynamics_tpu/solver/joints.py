@@ -40,6 +40,7 @@ POSITION_KINDS = (
     "target_position_motor_slider", "target_velocity_motor_slider",
     "target_angle_motor_hinge", "target_velocity_motor_hinge",
     "distance", "damper", "rb_particle_ball",
+    "stretch_bending_twisting",
 )
 VELOCITY_KINDS = ("target_velocity_motor_slider", "target_velocity_motor_hinge")
 
@@ -227,6 +228,53 @@ def _prep_rb_particle_ball(d, x0, q0, x1, q1, dt, target):
     return _rows6(rows)
 
 
+def darboux_omega(q0, q1, length):
+    """Darboux vector ``ω = (2/L) vec(q̄0 ⊗ q1)``
+    (``computeDarbouxVector``, ``PositionBasedElasticRods.cpp:636-641``)."""
+    return 2.0 / length * quat.multiply(quat.conjugate(q0), q1)[1:4]
+
+
+def darboux_jacobian1(q0, q1, length):
+    """World-frame angular Jacobian of the Darboux vector w.r.t. body 1:
+    ``J1 θ = (1/L) vec(q̄0 ⊗ (0,θ) ⊗ q1)`` (from ``δq1 = ½(0,θ)⊗q1``);
+    the body-0 Jacobian is its negative. Equivalent to the reference's
+    ``jOmega·G`` products (``computeBendingAndTorsionJacobians`` +
+    ``computeMatrixG``, ``PositionBasedElasticRods.cpp:643-670``), built
+    here by basis application so no component-order convention leaks in."""
+    q0c = quat.conjugate(q0)
+
+    def col(e):
+        return quat.multiply(q0c, quat.multiply(quat.from_vec(e), q1)
+                             )[1:4] / length
+
+    return jnp.stack([col(_EYE3[k]) for k in range(3)], axis=1)  # (3, 3)
+
+
+def _prep_stretch_bending_twisting(d, x0, q0, x1, q1, dt, target):
+    """``solve_StretchBendingTwistingConstraint``
+    (``PositionBasedElasticRods.cpp:1228-1363``): 3 zero-stretch rows at
+    the shared connector + 3 Darboux bend/twist rows, solved as one 6×6
+    XPBD system with a persistent 6-vector λ-sum. Compliances follow
+    ``initBeforeProjection_StretchBendingTwistingConstraint``
+    (``:1176-1205``): stretch α = 1e-10/dt², bend/twist α =
+    1/(K dt² L)."""
+    c0, c1 = _connectors(d["local0"], d["local1"], x0, q0, x1, q1)
+    r0, r1 = c0 - x0, c1 - x1
+    diff = c0 - c1
+    length = d["rest"]                      # average segment length
+    omega = darboux_omega(q0, q1, length)
+    j1 = darboux_jacobian1(q0, q1, length)
+    bend_c = omega - d["rest3"]
+    z3 = jnp.zeros((3,), jnp.float32)
+    rows = [(diff[i],) + rb.pos_row(_EYE3[i], r0, r1) for i in range(3)]
+    rows += [(bend_c[i], z3, -j1[i], z3, j1[i]) for i in range(3)]
+    inv_dt2 = 1.0 / (dt * dt)
+    s_alpha = 1.0e-10 * inv_dt2
+    b_alpha = inv_dt2 / (d["stiffness3"] * length)
+    alphas = [s_alpha, s_alpha, s_alpha, b_alpha[0], b_alpha[1], b_alpha[2]]
+    return _rows6(rows, alphas=alphas)
+
+
 _PREPARE = {
     "ball": _prep_ball,
     "ball_on_line": _prep_ball_on_line,
@@ -240,6 +288,7 @@ _PREPARE = {
     "distance": _prep_distance,
     "damper": _prep_damper,
     "rb_particle_ball": _prep_rb_particle_ball,
+    "stretch_bending_twisting": _prep_stretch_bending_twisting,
 }
 
 
@@ -307,7 +356,9 @@ class JointBatch:
     frame_q: Optional[Array] = None       # (C, 4)
     pr: Optional[Array] = None            # (C, p, 4)
     rest: Optional[Array] = None          # (C,)
+    rest3: Optional[Array] = None         # (C, 3) e.g. rest Darboux vector
     stiffness: Optional[Array] = None     # (C,)
+    stiffness3: Optional[Array] = None    # (C, 3) e.g. SBT K coefficients
     target: Optional[Array] = None        # (C,)
     seq_times: Optional[Array] = None     # (C, S)
     seq_values: Optional[Array] = None    # (C, S)
@@ -326,7 +377,11 @@ class JointBatch:
         return self.kind in VELOCITY_KINDS
 
     def init_lambda(self) -> Array:
-        return jnp.zeros((self.n,), jnp.float32)
+        """Per-joint 6-row λ-sum, zeroed before each projection —
+        ``initConstraintBeforeProjection`` semantics
+        (``Constraints.cpp:2496``). Scalar-λ kinds use row 0; rows whose
+        compliance is zero ignore their λ entry entirely."""
+        return jnp.zeros((self.n, 6), jnp.float32)
 
     def current_target(self, time) -> Array:
         """Motor target at ``time`` — static target or linear interpolation
@@ -351,7 +406,7 @@ class JointBatch:
     def _data(self):
         d = {}
         for name in ("local0", "local1", "aux0", "aux1", "frame_q", "pr",
-                     "rest", "stiffness"):
+                     "rest", "rest3", "stiffness", "stiffness3"):
             v = getattr(self, name)
             if v is not None:
                 d[name] = v
@@ -385,13 +440,12 @@ class JointBatch:
         def one(d, x0, q0, w0, iw0, x1, q1, w1, iw1, tgt, lam_j):
             out = prep(d, x0, q0, x1, q1, dt, tgt)
             c, l0, a0, l1, a1, alpha, act = out[:7]
-            lam_rows = jnp.zeros((6,), jnp.float32).at[0].set(lam_j)
             dlam, dx0, ot0, dx1, ot1 = rb.solve_rows(
-                c, l0, a0, l1, a1, w0, iw0, w1, iw1, alpha, lam_rows, act > 0.5
+                c, l0, a0, l1, a1, w0, iw0, w1, iw1, alpha, lam_j, act > 0.5
             )
             dq0 = rb.rotation_correction(ot0, q0)
             dq1 = rb.rotation_correction(ot1, q1)
-            return dx0, dq0, dx1, dq1, lam_j + dlam[0]
+            return dx0, dq0, dx1, dq1, lam_j + dlam
 
         dx0, dq0, dx1, dq1, new_lam = jax.vmap(one)(
             data, x0, q0, w0, iw0, x1, q1, w1, iw1, target, lam
@@ -562,6 +616,25 @@ def make_joint_batch(kind: str, bodies, conflict_ids, x, q, *,
     elif kind == "rb_particle_ball":
         # init_RigidBodyParticleBallJoint (:2128-2146)
         kw["local0"] = _f32(npquat.rotate(npquat.conjugate(q0), x1 - x0))
+    elif kind == "stretch_bending_twisting":
+        # init_StretchBendingTwistingConstraint
+        # (PositionBasedElasticRods.cpp:1136-1174): local connectors at the
+        # shared constraint position; K = (EI, 2GI, EI) with I = π/4 r⁴;
+        # rest Darboux from the initial orientations. Here ``positions`` is
+        # the constraint position, ``rest`` = average segment length,
+        # ``directions`` packs (radius, youngs, torsion) per joint.
+        pos = np.asarray(positions, np.float64).reshape(c, 3)
+        l0, l1 = _local_connectors(x0, q0, x1, q1, pos)
+        kw["local0"], kw["local1"] = _f32(l0), _f32(l1)
+        seg_len = np.broadcast_to(np.asarray(rest, np.float64), (c,))
+        kw["rest"] = _f32(seg_len)
+        params = np.asarray(directions, np.float64).reshape(c, 3)
+        second_moment = np.pi / 4.0 * params[:, 0] ** 4
+        bend_k = params[:, 1] * second_moment
+        twist_k = 2.0 * params[:, 2] * second_moment
+        kw["stiffness3"] = _f32(np.stack([bend_k, twist_k, bend_k], axis=1))
+        rel = npquat.multiply(npquat.conjugate(q0), q1)
+        kw["rest3"] = _f32(2.0 / seg_len[:, None] * rel[:, 1:4])
 
     if kind == "damper":
         kw["stiffness"] = _f32(np.broadcast_to(

@@ -175,7 +175,8 @@ def _project_joints(rx, rq, rigid, px, p_inv_mass, cset, lams, time, dt, cfg):
                     rx, rq, rigid.inv_mass, iw, time, dt, lams[key],
                     px=px, pw=p_inv_mass)
                 msk = (jb.color == color).astype(jnp.float32)
-                lams[key] = jnp.where(jb.color == color, new_lam, lams[key])
+                lams[key] = jnp.where((jb.color == color)[:, None],
+                                      new_lam, lams[key])
                 rx, rq, px = _apply_joint_position(
                     rx, rq, px, jb, corr_x, corr_q, mask=msk)
         else:

@@ -1,0 +1,134 @@
+"""Stretch-bending-twisting rod joints (Deul et al. 2018; reference
+``PositionBasedElasticRods.cpp:1136-1363``)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from positionbaseddynamics_tpu.models import SceneBuilder
+from positionbaseddynamics_tpu.ops import quaternion as quat
+from positionbaseddynamics_tpu.solver import StepConfig, rollout
+from positionbaseddynamics_tpu.solver.joints import (darboux_jacobian1,
+                                                     darboux_omega)
+
+
+def _rand_quat(rng):
+    q = rng.normal(size=4)
+    return jnp.asarray(q / np.linalg.norm(q), jnp.float32)
+
+
+def test_darboux_jacobian_matches_finite_differences():
+    """World-frame angular Jacobians of the Darboux vector: J1 from
+    basis application, J0 = -J1 — both checked against central FD of
+    ω(q0, q1) under δq = ½(0,εe)⊗q perturbations."""
+    rng = np.random.default_rng(0)
+    L = 0.37
+    for _ in range(5):
+        q0, q1 = _rand_quat(rng), _rand_quat(rng)
+        j1 = np.asarray(darboux_jacobian1(q0, q1, L))
+        eps = 1e-3
+
+        def omega_pert(q0p, q1p):
+            return np.asarray(darboux_omega(
+                jnp.asarray(q0p / np.linalg.norm(q0p)),
+                jnp.asarray(q1p / np.linalg.norm(q1p)), L))
+
+        for k in range(3):
+            e = np.zeros(3)
+            e[k] = eps
+            dq = 0.5 * np.asarray(quat.multiply(
+                quat.from_vec(jnp.asarray(e, jnp.float32)), q1))
+            fd = (omega_pert(np.asarray(q0), np.asarray(q1) + dq)
+                  - omega_pert(np.asarray(q0), np.asarray(q1) - dq)) / (
+                      2 * eps)
+            np.testing.assert_allclose(j1[:, k], fd, atol=2e-3)
+
+            dq0 = 0.5 * np.asarray(quat.multiply(
+                quat.from_vec(jnp.asarray(e, jnp.float32)), q0))
+            fd0 = (omega_pert(np.asarray(q0) + dq0, np.asarray(q1))
+                   - omega_pert(np.asarray(q0) - dq0, np.asarray(q1))) / (
+                       2 * eps)
+            np.testing.assert_allclose(-j1[:, k], fd0, atol=2e-3)
+
+
+def _build_sbt_chain(n_seg=5, seg_len=0.5, radius=0.1, youngs=1e6,
+                     torsion=1e6, density=1000.0):
+    """Horizontal rod of ``n_seg`` rigid segments along +x, first static —
+    the StretchBendingTwistingDemo setup
+    (``Demos/StiffRodsDemos/StretchBendingTwistingDemo.cpp``)."""
+    b = SceneBuilder()
+    mass = density * np.pi * radius**2 * seg_len
+    # solid cylinder about its length axis (x): Ix = m r²/2,
+    # Iy = Iz = m (3r² + L²)/12
+    ix = 0.5 * mass * radius**2
+    iyz = mass * (3 * radius**2 + seg_len**2) / 12.0
+    for i in range(n_seg):
+        b.add_rigid_body(
+            x=((i + 0.5) * seg_len, 0.0, 0.0),
+            mass=(0.0 if i == 0 else mass), inertia=(ix, iyz, iyz))
+    for i in range(n_seg - 1):
+        b.add_stretch_bending_twisting_constraint(
+            i, i + 1, pos=((i + 1) * seg_len, 0.0, 0.0),
+            average_radius=radius, average_segment_length=seg_len,
+            youngs_modulus=youngs, torsion_modulus=torsion)
+    return b
+
+
+def test_sbt_chain_stays_connected_and_droops():
+    b = _build_sbt_chain(youngs=1e5, torsion=1e5)
+    state, cset = b.build()
+    cfg = StepConfig(dt=0.005, substeps=5)
+    final, _ = jax.jit(lambda s: rollout(s, cset, cfg, 200))(state)
+    x = np.asarray(final.rigid.x)
+    q = np.asarray(final.rigid.q)
+    assert np.isfinite(x).all() and np.isfinite(q).all()
+    # static root did not move
+    np.testing.assert_allclose(x[0], [0.25, 0.0, 0.0], atol=1e-6)
+    # tip drooped under gravity but the rod resists (not free fall)
+    t = 200 * 0.005
+    free_fall = -0.5 * 9.81 * t * t
+    assert free_fall * 0.9 < x[-1, 1] < -1e-3
+    # zero-stretch: consecutive connector gaps stay closed
+    for i in range(4):
+        d3 = np.asarray(quat.to_matrix(jnp.asarray(q[i])))[:, 0]
+        c0 = x[i] + 0.25 * d3
+        d3n = np.asarray(quat.to_matrix(jnp.asarray(q[i + 1])))[:, 0]
+        c1 = x[i + 1] - 0.25 * d3n
+        assert np.linalg.norm(c0 - c1) < 0.02
+
+
+def test_sbt_stiffness_ordering():
+    """A stiffer rod droops less — compliance scales with 1/(E·I).
+    Sanity anchor: the analytic cantilever tip deflection w L⁴/(8 E I)
+    for this rod (r=0.1, L=2.5, ρ=1000) is ~1.9 m at E=1e7 and ~0.019 m
+    at E=1e9."""
+    tips = []
+    for youngs in (1e5, 1e9):
+        b = _build_sbt_chain(youngs=youngs, torsion=youngs)
+        state, cset = b.build()
+        cfg = StepConfig(dt=0.005, substeps=5)
+        final, _ = jax.jit(lambda s: rollout(s, cset, cfg, 150))(state)
+        tips.append(float(np.asarray(final.rigid.x)[-1, 1]))
+    soft, stiff = tips
+    assert stiff > soft + 0.05
+    assert abs(stiff) < 0.15          # nearly straight at E = 1e9
+
+
+def test_sbt_twist_resistance():
+    """Spin the tip segment about the rod axis: the twist rows resist and
+    propagate rotation instead of letting the tip spin freely."""
+    b = _build_sbt_chain(n_seg=3, youngs=1e6, torsion=1e6)
+    state, cset = b.build()
+    import dataclasses
+    om = np.zeros((3, 3), np.float32)
+    om[2] = (20.0, 0.0, 0.0)         # spin tip about x (rod axis)
+    state = dataclasses.replace(
+        state, rigid=dataclasses.replace(
+            state.rigid, omega=jnp.asarray(om)))
+    cfg = StepConfig(dt=0.005, substeps=5, gravity=(0.0, 0.0, 0.0))
+    final, _ = jax.jit(lambda s: rollout(s, cset, cfg, 100))(state)
+    om_f = np.asarray(final.rigid.omega)
+    assert np.isfinite(om_f).all()
+    # tip angular speed dropped well below the initial 20 rad/s
+    assert np.linalg.norm(om_f[2]) < 15.0
