@@ -17,11 +17,14 @@ import numpy as np
 from ..solver.constraints import (
     BendTwistBatch,
     ConstraintSet,
+    DarbouxVectorBatch,
     DihedralBatch,
     DistanceBatch,
     FEMTetraBatch,
     FEMTriangleBatch,
+    GhostEdgeDistanceBatch,
     IsometricBendingBatch,
+    PerpendicularBisectorBatch,
     ShapeMatchingBatch,
     StrainTetraBatch,
     StrainTriangleBatch,
@@ -134,6 +137,13 @@ class LineModelHandle:
     n_quaternions: int
 
 
+@dataclass
+class GhostRodHandle:
+    offset: int          # centreline particle offset
+    ghost_offset: int    # ghost particle offset (in the same global array)
+    n_points: int
+
+
 def _chunk2(i, j):
     return np.stack([np.atleast_1d(np.asarray(i, np.int32)),
                      np.atleast_1d(np.asarray(j, np.int32))], axis=1)
@@ -197,6 +207,9 @@ class SceneBuilder:
     _shape_matching: list = field(default_factory=list)  # (clusters list, stiffness)
     _stretch_shear: list = field(default_factory=list)  # (idx_p, idx_q, ks3)
     _bend_twist: list = field(default_factory=list)     # (idx_q, ks3)
+    _perp_bisector: list = field(default_factory=list)  # (idx3, k)
+    _ghost_edge: list = field(default_factory=list)     # (idx3, k)
+    _darboux: list = field(default_factory=list)        # (idx5, ks3, midlen)
     # structured grid cloth specs: offset -> {hw, distance, bending}
     _grid_cloth_specs: dict = field(default_factory=dict)
 
@@ -252,6 +265,56 @@ class SceneBuilder:
         points = np.asarray(points, np.float32)
         offset = self.add_particles(points, mass)
         return TetModelHandle(offset, TetMesh(len(points), tets))
+
+    def add_ghost_rod_model(self, points, ghost_points=None, mass=1.0,
+                            ghost_mass=1.0) -> GhostRodHandle:
+        """Ghost-point elastic rod (Umetani 2014): ``n`` centreline
+        particles + ``n−1`` edge ghost particles, all in the global
+        particle array — the ``PositionBasedElasticRodsModel`` ghost
+        ``ParticleData`` (``PositionBasedElasticRodsModel.h:31``). When
+        ``ghost_points`` is None they are placed at edge midpoints offset
+        by 0.25 along a direction perpendicular to the edge (the demo's
+        construction, ``PositionBasedElasticRodsDemo.cpp:160-166``)."""
+        pts = np.asarray(points, np.float64)
+        n = len(pts)
+        if ghost_points is None:
+            mids = 0.5 * (pts[:-1] + pts[1:])
+            d = pts[1:] - pts[:-1]
+            d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True),
+                               1e-12)
+            up = np.broadcast_to(np.array([0.0, 1.0, 0.0]), d.shape)
+            alt = np.broadcast_to(np.array([1.0, 0.0, 0.0]), d.shape)
+            perp = np.cross(d, up)
+            bad = np.linalg.norm(perp, axis=1) < 1e-6
+            perp[bad] = np.cross(d[bad], alt[bad])
+            perp = perp / np.maximum(
+                np.linalg.norm(perp, axis=1, keepdims=True), 1e-12)
+            ghost_points = mids + 0.25 * perp
+        offset = self.add_particles(pts, mass)
+        ghost_offset = self.add_particles(np.asarray(ghost_points,
+                                                     np.float64), ghost_mass)
+        return GhostRodHandle(offset, ghost_offset, n)
+
+    def add_ghost_rod_constraints(self, h: GhostRodHandle,
+                                  stretching_stiffness=1.0,
+                                  bending_twisting=(0.5, 0.5, 0.5)):
+        """Per-element constraints of the ghost-rod demo
+        (``PositionBasedElasticRodsDemo.cpp:172-193``): edge distance +
+        perpendicular bisector + ghost-edge distance per edge, Darboux
+        bend/twist per interior element (mid-edge length 1.0 as the demo
+        passes)."""
+        o, g, n = h.offset, h.ghost_offset, h.n_points
+        for i in range(n - 1):
+            self.add_distance_constraint(o + i, o + i + 1,
+                                         stretching_stiffness)
+            self.add_perpendicular_bisector_constraint(o + i, o + i + 1,
+                                                       g + i)
+            self.add_ghost_point_edge_distance_constraint(o + i, o + i + 1,
+                                                          g + i)
+            if i < n - 2:
+                self.add_darboux_vector_constraint(
+                    o + i, o + i + 1, o + i + 2, g + i, g + i + 1,
+                    bending_twisting=bending_twisting)
 
     def add_line_model(self, points, quaternions=None, mass=1.0,
                        mass_q=1.0) -> LineModelHandle:
@@ -650,6 +713,26 @@ class SceneBuilder:
         ks = np.broadcast_to(np.asarray(stiffness, np.float32), (1, 3)).copy()
         self._bend_twist.append((_chunk2(qi, qj), ks))
 
+    # ---- ghost-point elastic rod constraints (Umetani 2014) --------------
+
+    def add_perpendicular_bisector_constraint(self, p0, p1, ghost,
+                                              stiffness=1.0):
+        idx = np.array([[p0, p1, ghost]], np.int32)
+        self._perp_bisector.append((idx, _bc(stiffness, 1)))
+
+    def add_ghost_point_edge_distance_constraint(self, p0, p1, ghost,
+                                                 stiffness=1.0):
+        idx = np.array([[p0, p1, ghost]], np.int32)
+        self._ghost_edge.append((idx, _bc(stiffness, 1)))
+
+    def add_darboux_vector_constraint(self, p0, p1, p2, ghost0, ghost1,
+                                      bending_twisting=(0.5, 0.5, 0.5),
+                                      mid_edge_length=1.0):
+        idx = np.array([[p0, p1, p2, ghost0, ghost1]], np.int32)
+        ks = np.broadcast_to(np.asarray(bending_twisting, np.float32),
+                             (1, 3)).copy()
+        self._darboux.append((idx, ks, _bc(mid_edge_length, 1)))
+
     # ---- high-level builders (SimulationModel.cpp:1125-1320) -------------
 
     def add_cloth_constraints(self, tm: TriModelHandle, method: int = 4,
@@ -959,6 +1042,19 @@ class SceneBuilder:
             inv_m = np.where(self._masses() > 0.0, 1.0 /
                              np.maximum(self._masses(), 1e-30), 0.0)
             kw["shape_matching"] = batch.finalize(inv_m)
+        if self._perp_bisector:
+            kw["perpendicular_bisector"] = PerpendicularBisectorBatch.create(
+                np.concatenate([c[0] for c in self._perp_bisector]),
+                np.concatenate([c[1] for c in self._perp_bisector]))
+        if self._ghost_edge:
+            kw["ghost_edge"] = GhostEdgeDistanceBatch.create(
+                np.concatenate([c[0] for c in self._ghost_edge]), x,
+                np.concatenate([c[1] for c in self._ghost_edge]))
+        if self._darboux:
+            kw["darboux_vector"] = DarbouxVectorBatch.create(
+                np.concatenate([c[0] for c in self._darboux]), x,
+                np.concatenate([c[1] for c in self._darboux]),
+                np.concatenate([c[2] for c in self._darboux]))
         if self._stretch_shear:
             idx_p = np.concatenate([c[0] for c in self._stretch_shear])
             idx_q = np.concatenate([c[1] for c in self._stretch_shear])

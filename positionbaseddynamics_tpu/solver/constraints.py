@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import pbd, quaternion as quat, rods, xpbd
+from ..ops import ghost_rods, pbd, quaternion as quat, rods, xpbd
 from .coloring import greedy_color
 
 Array = jax.Array
@@ -806,10 +806,134 @@ class BendTwistBatch:
 # The constraint set — scene-level container in solve order
 # ---------------------------------------------------------------------------
 
+@_register
+@dataclass(frozen=True)
+class PerpendicularBisectorBatch:
+    """Ghost-rod constraint keeping each ghost point on its edge's
+    perpendicular bisector (``PerpendiculaBisectorConstraint``;
+    kernel ``PositionBasedElasticRods.cpp:82-107``). ``idx`` = (edge p0,
+    edge p1, ghost)."""
+
+    idx: Array         # (C, 3)
+    stiffness: Array   # (C,)
+    color: Array
+    num_colors: int = field(metadata=dict(static=True))
+
+    k = 3
+
+    @staticmethod
+    def create(idx, stiffness=1.0) -> "PerpendicularBisectorBatch":
+        idx = np.asarray(idx, np.int32)
+        color, num_colors = greedy_color(idx)
+        return PerpendicularBisectorBatch(
+            idx=jnp.asarray(idx), stiffness=_as_f32(stiffness, (len(idx),)),
+            color=jnp.asarray(color), num_colors=num_colors)
+
+    def init_lambda(self) -> Array:
+        return jnp.zeros((0,), jnp.float32)
+
+    def solve(self, x, inv_mass, lam, dt):
+        p = x[self.idx]
+        w = inv_mass[self.idx]
+        c0, c1, c2 = jax.vmap(ghost_rods.solve_perpendicular_bisector)(
+            p[:, 0], w[:, 0], p[:, 1], w[:, 1], p[:, 2], w[:, 2],
+            self.stiffness)
+        return jnp.stack([c0, c1, c2], axis=1), lam
+
+
+@_register
+@dataclass(frozen=True)
+class GhostEdgeDistanceBatch:
+    """Ghost-point-to-edge-midpoint distance
+    (``GhostPointEdgeDistanceConstraint``; kernel
+    ``PositionBasedElasticRods.cpp:109-136``)."""
+
+    idx: Array         # (C, 3)
+    rest: Array        # (C,)
+    stiffness: Array   # (C,)
+    color: Array
+    num_colors: int = field(metadata=dict(static=True))
+
+    k = 3
+
+    @staticmethod
+    def create(idx, x0, stiffness=1.0) -> "GhostEdgeDistanceBatch":
+        idx = np.asarray(idx, np.int32)
+        color, num_colors = greedy_color(idx)
+        x0 = np.asarray(x0, np.float64)
+        pm = 0.5 * (x0[idx[:, 0]] + x0[idx[:, 1]])
+        rest = np.linalg.norm(x0[idx[:, 2]] - pm, axis=-1)
+        return GhostEdgeDistanceBatch(
+            idx=jnp.asarray(idx), rest=jnp.asarray(rest, jnp.float32),
+            stiffness=_as_f32(stiffness, (len(idx),)),
+            color=jnp.asarray(color), num_colors=num_colors)
+
+    def init_lambda(self) -> Array:
+        return jnp.zeros((0,), jnp.float32)
+
+    def solve(self, x, inv_mass, lam, dt):
+        p = x[self.idx]
+        w = inv_mass[self.idx]
+        c0, c1, c2 = jax.vmap(ghost_rods.solve_ghost_edge_distance)(
+            p[:, 0], w[:, 0], p[:, 1], w[:, 1], p[:, 2], w[:, 2],
+            self.stiffness, self.rest)
+        return jnp.stack([c0, c1, c2], axis=1), lam
+
+
+@_register
+@dataclass(frozen=True)
+class DarbouxVectorBatch:
+    """Ghost-rod bend/twist elements (``DarbouxVectorConstraint``; kernel
+    ``PositionBasedElasticRods.cpp:138-225``). ``idx`` = (p0, p1, p2,
+    ghost0, ghost1) into the global particle array; rest Darboux from the
+    rest positions with the demo's mid-edge length 1.0
+    (``PositionBasedElasticRodsConstraints.cpp:132-157``)."""
+
+    idx: Array          # (C, 5)
+    ks: Array           # (C, 3) bending/twisting stiffness
+    rest_darboux: Array  # (C, 3)
+    mid_len: Array      # (C,)
+    color: Array
+    num_colors: int = field(metadata=dict(static=True))
+
+    k = 5
+
+    @staticmethod
+    def create(idx, x0, bending_twisting=(0.5, 0.5, 0.5),
+               mid_edge_length=1.0) -> "DarbouxVectorBatch":
+        idx = np.asarray(idx, np.int32)
+        color, num_colors = greedy_color(idx)
+        c = idx.shape[0]
+        ks = np.broadcast_to(
+            np.asarray(bending_twisting, np.float32), (c, 3)).copy()
+        ml = np.broadcast_to(np.float32(mid_edge_length), (c,)).copy()
+        x0j = jnp.asarray(np.asarray(x0, np.float32))
+        rest = jax.vmap(ghost_rods.element_darboux)(
+            x0j[idx[:, 0]], x0j[idx[:, 1]], x0j[idx[:, 2]],
+            x0j[idx[:, 3]], x0j[idx[:, 4]], jnp.asarray(ml))
+        return DarbouxVectorBatch(
+            idx=jnp.asarray(idx), ks=jnp.asarray(ks),
+            rest_darboux=rest, mid_len=jnp.asarray(ml),
+            color=jnp.asarray(color), num_colors=num_colors)
+
+    def init_lambda(self) -> Array:
+        return jnp.zeros((0,), jnp.float32)
+
+    def solve(self, x, inv_mass, lam, dt):
+        p = x[self.idx]
+        w = inv_mass[self.idx]
+        corrs = jax.vmap(ghost_rods.solve_darboux_vector)(
+            p[:, 0], w[:, 0], p[:, 1], w[:, 1], p[:, 2], w[:, 2],
+            p[:, 3], w[:, 3], p[:, 4], w[:, 4],
+            self.ks, self.mid_len, self.rest_darboux)
+        return jnp.stack(corrs, axis=1), lam
+
+
 PARTICLE_BATCH_ORDER = (
     "distance", "fem_triangle", "strain_triangle", "fem_tetra",
     "strain_tetra", "volume", "shape_matching", "dihedral",
     "isometric_bending",
+    "perpendicular_bisector", "ghost_edge", "darboux_vector",
 )
 
 
@@ -832,6 +956,9 @@ class ConstraintSet:
     shape_matching: Optional[ShapeMatchingBatch] = None
     dihedral: Optional[DihedralBatch] = None
     isometric_bending: Optional[IsometricBendingBatch] = None
+    perpendicular_bisector: Optional[PerpendicularBisectorBatch] = None
+    ghost_edge: Optional[GhostEdgeDistanceBatch] = None
+    darboux_vector: Optional[DarbouxVectorBatch] = None
     stretch_shear: Optional[StretchShearBatch] = None
     bend_twist: Optional[BendTwistBatch] = None
     joints: Tuple = ()
