@@ -61,13 +61,18 @@ def main():
 
     steps = args.calls * args.steps_per_call
     steps_per_s = steps / dt
-    print(json.dumps({
+    out = {
         "metric": f"xpbd_cloth_{args.width * args.height // 1000}k_steps_per_s"
                   + (f"_b{args.batch}" if args.batch > 1 else ""),
-        "value": round(steps_per_s * args.batch, 2),
+        # per-rollout rate — the north-star number (≥60 steps/s per
+        # rollout, BASELINE.json); NOT multiplied by batch
+        "value": round(steps_per_s, 2),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_s * args.batch / 60.0, 3),
-    }))
+        "vs_baseline": round(steps_per_s / 60.0, 3),
+    }
+    if args.batch > 1:
+        out["aggregate_steps_per_s"] = round(steps_per_s * args.batch, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

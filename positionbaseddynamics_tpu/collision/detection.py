@@ -153,10 +153,13 @@ class CollisionPipeline:
     # which ordered (point_body_idx, sdf_body_idx) collider pairs to test;
     # built in `create` from collider list (all ordered pairs by default)
     rb_pairs: Tuple = field(default=(), metadata=dict(static=True))
+    # solid-solid: ((point_offset, point_count, point_friction),
+    #               TetCollider) pairs (collision/solid.py)
+    solid_pairs: Tuple = field(default=(), metadata=dict(static=True))
 
     @staticmethod
     def create(rigid_colliders=(), particle_groups=(), tolerance=0.01,
-               rb_pairs=None):
+               rb_pairs=None, solid_pairs=()):
         rigid_colliders = tuple(rigid_colliders)
         if rb_pairs is None:
             n = len(rigid_colliders)
@@ -169,12 +172,21 @@ class CollisionPipeline:
             particle_groups=tuple(particle_groups),
             tolerance=tolerance,
             rb_pairs=tuple(rb_pairs),
+            solid_pairs=tuple(solid_pairs),
         )
 
     @property
     def active(self) -> bool:
-        return bool(self.rb_pairs) or (
+        return bool(self.rb_pairs) or bool(self.solid_pairs) or (
             bool(self.particle_groups) and bool(self.rigid_colliders))
+
+    def detect_solids(self, x, v, inv_mass):
+        """Particle–tet narrow phase (``collisionDetectionSolidSolid``),
+        run once per step before the substep loop; the resulting contact
+        buffer is position-solved inside every projection iteration
+        (``TimeStepController.cpp:288-291``)."""
+        from .solid import detect_solid_contacts
+        return detect_solid_contacts(self.solid_pairs, x, v, inv_mass)
 
     # -- narrow phase -------------------------------------------------------
 

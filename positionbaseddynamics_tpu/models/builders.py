@@ -191,6 +191,7 @@ class SceneBuilder:
     # collision objects (built into a CollisionPipeline separately)
     _rb_colliders: list = field(default_factory=list)
     _pg_colliders: list = field(default_factory=list)
+    _tet_colliders: list = field(default_factory=list)
     # mesh-built bodies: body index -> dict(frame_rot, frame_t, verts)
     # (main-axis re-bake bookkeeping; see add_rigid_body_from_mesh)
     _rb_mesh_frames: dict = field(default_factory=dict)
@@ -210,6 +211,8 @@ class SceneBuilder:
     _perp_bisector: list = field(default_factory=list)  # (idx3, k)
     _ghost_edge: list = field(default_factory=list)     # (idx3, k)
     _darboux: list = field(default_factory=list)        # (idx5, ks3, midlen)
+    _generics: list = field(default_factory=list)       # (fn, idx, k)
+    _rigid_generics: list = field(default_factory=list)  # (fn, bodies, k)
     # structured grid cloth specs: offset -> {hw, distance, bending}
     _grid_cloth_specs: dict = field(default_factory=dict)
 
@@ -585,6 +588,22 @@ class SceneBuilder:
             offset=handle.offset, count=int(handle.mesh.n_vertices),
             restitution=float(restitution), friction=float(friction)))
 
+    def set_tet_collider(self, handle: TetModelHandle, restitution=0.1,
+                         friction=0.2, sdf_resolution=24,
+                         grid_resolution=24, cache_dir=None):
+        """Register a tet model as a *solid* collision target: other
+        deformables' particles collide with its rest-pose SDF through the
+        barycentric ref-tet map (``addCubicSDFCollisionObject`` with
+        ``TetModelCollisionObjectType`` + ``collisionDetectionSolidSolid``,
+        ``DistanceFieldCollisionDetection.cpp:361-470``)."""
+        self._tet_colliders.append(dict(
+            offset=handle.offset, count=int(handle.mesh.n_vertices),
+            tets_local=handle.mesh.tets,
+            surface_faces=handle.mesh.surface_faces,
+            restitution=float(restitution), friction=float(friction),
+            sdf_resolution=sdf_resolution, grid_resolution=grid_resolution,
+            cache_dir=cache_dir))
+
     def build_collision_pipeline(self, tolerance=0.01,
                                  max_collider_verts=512):
         """Freeze accumulated colliders into a jit-ready
@@ -634,8 +653,36 @@ class SceneBuilder:
                 restitution=jnp.float32(c["restitution"]),
                 friction=jnp.float32(c["friction"]))
             for c in self._pg_colliders)
+
+        # solid-solid: every particle group (tri/tet model) collides with
+        # every *other* tet collider
+        solid_pairs = ()
+        if self._tet_colliders:
+            from ..collision.solid import TetCollider
+
+            x = (np.concatenate(self._x, axis=0)
+                 if self._x else np.zeros((0, 3), np.float32))
+            tcs = [
+                TetCollider.create(
+                    s["offset"], s["count"], s["tets_local"],
+                    x[s["offset"]:s["offset"] + s["count"]],
+                    s["surface_faces"], restitution=s["restitution"],
+                    friction=s["friction"],
+                    sdf_resolution=s["sdf_resolution"],
+                    grid_resolution=s["grid_resolution"],
+                    cache_dir=s["cache_dir"])
+                for s in self._tet_colliders
+            ]
+            point_groups = [
+                (c["offset"], c["count"], np.float32(c["friction"]))
+                for c in self._pg_colliders
+            ]
+            solid_pairs = tuple(
+                (pg, tc) for pg in point_groups for tc in tcs
+                if pg[0] != tc.offset)
         return CollisionPipeline.create(rcs, pgs, tolerance=tolerance,
-                                        rb_pairs=rb_pairs)
+                                        rb_pairs=rb_pairs,
+                                        solid_pairs=solid_pairs)
 
     # ---- low-level constraint adders (SimulationModel.h:186-249) ---------
     # Scalar and bulk (array) forms share the same chunk accumulators.
@@ -712,6 +759,25 @@ class SceneBuilder:
     def add_bend_twist_constraint(self, qi, qj, stiffness=(0.5, 0.5, 0.5)):
         ks = np.broadcast_to(np.asarray(stiffness, np.float32), (1, 3)).copy()
         self._bend_twist.append((_chunk2(qi, qj), ks))
+
+    # ---- generic (autodiff) constraints ----------------------------------
+
+    def add_generic_constraints(self, fn, indices, stiffness=1.0,
+                                params=None):
+        """User-defined particle constraints: ``fn(pts (k, 3)[, params
+        (p,)]) -> (dim,)`` applied to every row of ``indices (C, k)``;
+        Jacobians by ``jax.jacfwd``
+        (``PositionBasedGenericConstraints.h:31-121`` with autodiff
+        replacing ``approximateGradient``; ``params`` plays userData)."""
+        self._generics.append((fn, np.asarray(indices, np.int32),
+                               stiffness, params))
+
+    def add_generic_rigid_constraints(self, fn, bodies, stiffness=1.0):
+        """User-defined rigid-body constraints: ``fn(x (k, 3), q (k, 4))
+        -> (dim,)`` per row of ``bodies (C, k)``
+        (``PositionBasedGenericConstraints.h:218-280``)."""
+        self._rigid_generics.append((fn, np.asarray(bodies, np.int32),
+                                     stiffness))
 
     # ---- ghost-point elastic rod constraints (Umetani 2014) --------------
 
@@ -1042,6 +1108,16 @@ class SceneBuilder:
             inv_m = np.where(self._masses() > 0.0, 1.0 /
                              np.maximum(self._masses(), 1e-30), 0.0)
             kw["shape_matching"] = batch.finalize(inv_m)
+        if self._generics:
+            from ..solver.constraints import GenericConstraintBatch
+            kw["generics"] = tuple(
+                GenericConstraintBatch.create(fn, idx, k, params=pr)
+                for fn, idx, k, pr in self._generics)
+        if self._rigid_generics:
+            from ..solver.constraints import GenericRigidBatch
+            kw["rigid_generics"] = tuple(
+                GenericRigidBatch.create(fn, bodies, k)
+                for fn, bodies, k in self._rigid_generics)
         if self._perp_bisector:
             kw["perpendicular_bisector"] = PerpendicularBisectorBatch.create(
                 np.concatenate([c[0] for c in self._perp_bisector]),

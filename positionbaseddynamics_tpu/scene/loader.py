@@ -293,6 +293,13 @@ def load_scene_dict(data: dict, base_path: str = ".",
                 normalize_shear=bool(_sim_get(sim, "solid_normalizeShear",
                                               False)))
         b.set_particle_collider(h, restitution=rest, friction=fric)
+        if int(tmd.get("collisionObjectType", NO_COLLISION)) == SDF_T:
+            # deformable solid-solid target: rest-pose SDF + ref-tet map
+            res = tmd.get("resolutionSDF", (20, 20, 20))
+            b.set_tet_collider(h, restitution=rest, friction=fric,
+                               sdf_resolution=[int(r) for r in res],
+                               cache_dir=cache_dir)
+            has_collision = True
         tet_models.append((int(tmd.get("id", len(tet_models))), h))
 
     # -- joints (SceneLoaderDemo.cpp:766-860) --------------------------------

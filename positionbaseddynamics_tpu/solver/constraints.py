@@ -929,6 +929,101 @@ class DarbouxVectorBatch:
         return jnp.stack(corrs, axis=1), lam
 
 
+@_register
+@dataclass(frozen=True)
+class GenericConstraintBatch:
+    """User-defined particle constraints solved with autodiff Jacobians
+    (``PositionBasedGenericConstraints.h:31-121``; ``jax.jacfwd``
+    replaces the finite-difference ``approximateGradient``). ``fn`` maps
+    the stacked positions ``(k, 3)`` of one constraint to a ``(dim,)``
+    value."""
+
+    idx: Array         # (C, k)
+    stiffness: Array   # (C,)
+    color: Array
+    params: Optional[Array] = None   # (C, p) per-constraint data, passed
+    # to ``fn(pts, params_row)`` when present (the reference's userData)
+    fn: object = field(default=None, metadata=dict(static=True))
+    num_colors: int = field(default=1, metadata=dict(static=True))
+
+    @staticmethod
+    def create(fn, idx, stiffness=1.0, params=None
+               ) -> "GenericConstraintBatch":
+        idx = np.asarray(idx, np.int32)
+        if idx.ndim == 1:
+            idx = idx[None, :]
+        color, num_colors = greedy_color(idx)
+        return GenericConstraintBatch(
+            idx=jnp.asarray(idx), stiffness=_as_f32(stiffness, (len(idx),)),
+            color=jnp.asarray(color),
+            params=(None if params is None
+                    else jnp.asarray(np.atleast_2d(params), jnp.float32)),
+            fn=fn, num_colors=num_colors)
+
+    @property
+    def k(self):
+        return self.idx.shape[1]
+
+    def init_lambda(self) -> Array:
+        return jnp.zeros((0,), jnp.float32)
+
+    def solve(self, x, inv_mass, lam, dt):
+        from ..ops.generic import solve_generic_particle_constraint
+
+        p = x[self.idx]
+        w = inv_mass[self.idx]
+        if self.params is None:
+            corr = jax.vmap(
+                lambda pts, ws, s: solve_generic_particle_constraint(
+                    self.fn, pts, ws, s))(p, w, self.stiffness)
+        else:
+            corr = jax.vmap(
+                lambda pts, ws, s, pr: solve_generic_particle_constraint(
+                    lambda pp: self.fn(pp, pr), pts, ws, s))(
+                        p, w, self.stiffness, self.params)
+        return corr, lam
+
+
+@_register
+@dataclass(frozen=True)
+class GenericRigidBatch:
+    """User-defined rigid-body constraints
+    (``PositionBasedGenericConstraints.h:218-280``). ``fn(x (k, 3),
+    q (k, 4)) -> (dim,)``; Jacobians by autodiff, rotations corrected via
+    the quaternion G-matrix parametrization."""
+
+    bodies: Array      # (C, k)
+    stiffness: Array   # (C,)
+    color: Array
+    fn: object = field(metadata=dict(static=True))
+    num_colors: int = field(metadata=dict(static=True))
+
+    @staticmethod
+    def create(fn, bodies, stiffness=1.0) -> "GenericRigidBatch":
+        bodies = np.asarray(bodies, np.int32)
+        if bodies.ndim == 1:
+            bodies = bodies[None, :]
+        color, num_colors = greedy_color(bodies)
+        return GenericRigidBatch(
+            bodies=jnp.asarray(bodies),
+            stiffness=_as_f32(stiffness, (len(bodies),)),
+            color=jnp.asarray(color), fn=fn, num_colors=num_colors)
+
+    def solve(self, rx, rq, inv_mass, inv_iw):
+        from ..ops.generic import solve_generic_rigid_constraint
+
+        x = rx[self.bodies]
+        q = rq[self.bodies]
+        w = inv_mass[self.bodies]
+        iw = inv_iw[self.bodies]
+        corr_x, ot = jax.vmap(
+            lambda xx, qq, ww, ii, s: solve_generic_rigid_constraint(
+                self.fn, xx, qq, ww, ii, s))(x, q, w, iw, self.stiffness)
+        corr_q = 0.5 * jax.vmap(jax.vmap(quat.multiply))(
+            jax.vmap(jax.vmap(quat.from_vec))(ot), q)
+        return corr_x, corr_q
+
+
 PARTICLE_BATCH_ORDER = (
     "distance", "fem_triangle", "strain_triangle", "fem_tetra",
     "strain_tetra", "volume", "shape_matching", "dihedral",
@@ -959,6 +1054,8 @@ class ConstraintSet:
     perpendicular_bisector: Optional[PerpendicularBisectorBatch] = None
     ghost_edge: Optional[GhostEdgeDistanceBatch] = None
     darboux_vector: Optional[DarbouxVectorBatch] = None
+    generics: Tuple = ()          # GenericConstraintBatch instances
+    rigid_generics: Tuple = ()    # GenericRigidBatch instances
     stretch_shear: Optional[StretchShearBatch] = None
     bend_twist: Optional[BendTwistBatch] = None
     joints: Tuple = ()
@@ -992,11 +1089,13 @@ class ConstraintSet:
         return dataclasses.replace(self, jacobi_inv_counts=inv)
 
     def particle_batches(self):
-        return [
+        named = [
             (name, getattr(self, name))
             for name in PARTICLE_BATCH_ORDER
             if getattr(self, name) is not None
         ]
+        named += [(f"generic{i}", b) for i, b in enumerate(self.generics)]
+        return named
 
     def init_lambdas(self):
         lams = {

@@ -190,7 +190,7 @@ def _project_joints(rx, rq, rigid, px, p_inv_mass, cset, lams, time, dt, cfg):
 
 
 def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
-                      time, dt, cfg: StepConfig):
+                      time, dt, cfg: StepConfig, solid_contacts=None):
     """Position-constraint projection — the batched analogue of
     ``TimeStepController::positionConstraintProjection``
     (``TimeStepController.cpp:251-295``). λ arrays start at zero
@@ -222,10 +222,25 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
         if rigid is not None and cset.joints:
             rx, rq, x = _project_joints(
                 rx, rq, rigid, x, inv_mass, cset, lams, time, dt, cfg)
+        if rigid is not None and cset.rigid_generics:
+            nr = rx.shape[0]
+            for gb in cset.rigid_generics:
+                iw = _masked_inv_inertia_w(rq, rigid.inertia0,
+                                           rigid.inv_mass)
+                corr_x, corr_q = gb.solve(rx, rq, rigid.inv_mass, iw)
+                rx = rx + scatter_add(nr, gb.bodies, corr_x)
+                rq = quat.normalize(rq + scatter_add(nr, gb.bodies, corr_q))
+        if solid_contacts is not None:
+            # particle-tet contacts solved after the groups each iteration
+            # (TimeStepController.cpp:288-291)
+            from ..collision.solid import solve_solid_contacts_position
+            x = x + solve_solid_contacts_position(solid_contacts, x,
+                                                  inv_mass)
     return x, q, rx, rq
 
 
-def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig) -> SimState:
+def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig,
+             solid_contacts=None) -> SimState:
     """One substep: integrate → project → velocity update
     (``TimeStepController.cpp:93-173``)."""
     gravity = jnp.asarray(cfg.gravity, jnp.float32)
@@ -261,7 +276,7 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig) -> SimSta
 
     x, oq, rx, rq = project_positions(
         x, p.inv_mass, oq, o.inv_mass if o is not None else None,
-        r, cset, state.time, h, cfg
+        r, cset, state.time, h, cfg, solid_contacts=solid_contacts
     )
 
     if cfg.velocity_update_method == 1:
@@ -304,7 +319,8 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig) -> SimSta
 
 
 def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
-                                   cfg: StepConfig, pipeline=None) -> SimState:
+                                   cfg: StepConfig, pipeline=None,
+                                   solid_contacts=None) -> SimState:
     """Velocity-level projection, once per step after the substep loop
     (``TimeStepController::velocityConstraintProjection``,
     ``TimeStepController.cpp:298-357``): collision detection, then
@@ -318,6 +334,14 @@ def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
     vel_batches = [jb for jb in cset.joints if jb.has_velocity_solve]
     has_contacts = (pipeline is not None and pipeline.active
                     and r is not None)
+    if solid_contacts is not None:
+        # particle-tet friction (velocitySolve_ParticleTetContactConstraint)
+        from ..collision.solid import solve_solid_contacts_velocity
+        p = state.particles
+        pv = p.v + solve_solid_contacts_velocity(
+            solid_contacts, p.x, p.v, p.inv_mass)
+        state = dataclasses.replace(
+            state, particles=dataclasses.replace(p, v=pv))
     if r is None or not (vel_batches or has_contacts):
         return state
     p = state.particles
@@ -371,11 +395,17 @@ def step(state: SimState, cset: ConstraintSet, cfg: StepConfig,
     :func:`make_step_fn`."""
     h = cfg.dt / cfg.substeps
 
+    solid_contacts = None
+    if pipeline is not None and getattr(pipeline, "solid_pairs", ()):
+        p = state.particles
+        solid_contacts = pipeline.detect_solids(p.x, p.v, p.inv_mass)
+
     def body(s, _):
-        return _substep(s, cset, h, cfg), None
+        return _substep(s, cset, h, cfg, solid_contacts), None
 
     state, _ = jax.lax.scan(body, state, None, length=cfg.substeps)
-    state = velocity_constraint_projection(state, cset, cfg, pipeline)
+    state = velocity_constraint_projection(state, cset, cfg, pipeline,
+                                           solid_contacts)
     return dataclasses.replace(state, time=state.time + cfg.dt)
 
 

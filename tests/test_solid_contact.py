@@ -1,0 +1,89 @@
+"""Solid–solid (particle–tet) contact: the
+``collisionDetectionSolidSolid`` + ``ParticleTetContactConstraint``
+pipeline (``DistanceFieldCollisionDetection.cpp:361-470``,
+``PositionBasedDynamics.cpp:1172-1340``)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from positionbaseddynamics_tpu.models import SceneBuilder
+from positionbaseddynamics_tpu.solver import StepConfig, make_step_fn
+
+
+def _two_bars(gap=0.15):
+    """A dynamic tet bar dropped onto a static tet bar."""
+    b = SceneBuilder()
+    bottom = b.add_regular_tet_model(6, 2, 2, translation=(0.0, 0.0, 0.0),
+                                     scale=(1.2, 0.25, 0.4))
+    for i in range(bottom.mesh.n_vertices):
+        b.set_mass(bottom.offset + i, 0.0)
+    # narrower + offset so penetrating vertices land strictly inside the
+    # bottom bar (a vertex exactly on the target's surface plane has
+    # zero surface distance and cannot orient a contact normal)
+    top = b.add_regular_tet_model(6, 2, 2,
+                                  translation=(0.05, 0.25 + gap, 0.0),
+                                  scale=(1.0, 0.25, 0.3))
+    b.add_solid_constraints(top, method=3, stiffness=1e5)
+    b.set_particle_collider(bottom, restitution=0.0, friction=0.2)
+    b.set_particle_collider(top, restitution=0.0, friction=0.2)
+    b.set_tet_collider(bottom, restitution=0.0, friction=0.2,
+                       sdf_resolution=20, grid_resolution=16)
+    b.set_tet_collider(top, restitution=0.0, friction=0.2,
+                       sdf_resolution=20, grid_resolution=16)
+    state, cset = b.build()
+    pipe = b.build_collision_pipeline()
+    return state, cset, pipe, bottom, top
+
+
+def test_solid_pairs_built():
+    _, _, pipe, bottom, top = _two_bars()
+    assert len(pipe.solid_pairs) == 2          # each model vs the other
+    assert pipe.active
+
+
+def test_ref_tet_grid_lookup():
+    """The rest-space tet-lookup grid (findRefTetAt replacement) returns
+    a tet actually containing interior query points."""
+    state, _, pipe, _, _ = _two_bars()
+    (pg, tc) = pipe.solid_pairs[0]
+    x0 = np.asarray(state.particles.x)
+    rng = np.random.default_rng(0)
+    # random points inside the bottom bar's AABB core
+    verts = x0[tc.offset:tc.offset + tc.count]
+    lo, hi = verts.min(0), verts.max(0)
+    pts = lo + (0.2 + 0.6 * rng.random((20, 3))) * (hi - lo)
+    tets = np.asarray(tc.lookup_tet(jnp.asarray(pts, jnp.float32)))
+    inv_a = np.asarray(tc.rest_inv_a)[tets]
+    rx0 = np.asarray(tc.rest_x0)[tets]
+    bary = np.einsum("pij,pj->pi", inv_a, pts - rx0)
+    err = (np.maximum(0, -bary).sum(1)
+           + np.maximum(0, bary.sum(1) - 1.0))
+    assert (err < 0.2).all()                   # grid cell quantization
+
+
+def test_stacked_bars_rest_without_interpenetration():
+    state, cset, pipe, bottom, top = _two_bars()
+    fn = make_step_fn(cset, StepConfig(dt=0.005, substeps=5), pipe)
+    for _ in range(150):
+        state = fn(state)
+    x = np.asarray(state.particles.x)
+    assert np.isfinite(x).all()
+    top_x = x[top.offset:top.offset + top.mesh.n_vertices]
+    bot_x = x[bottom.offset:bottom.offset + bottom.mesh.n_vertices]
+    # statics fixed
+    np.testing.assert_allclose(
+        bot_x, np.asarray(
+            jnp.asarray(np.asarray(state.particles.x0)
+                        [bottom.offset:bottom.offset
+                         + bottom.mesh.n_vertices])), atol=1e-6)
+    # the top bar fell onto the bottom bar and rests on it: its lowest
+    # vertices sit near the bottom bar's top surface (y = 0.125), not
+    # inside it
+    bot_top_y = bot_x[:, 1].max()
+    assert top_x[:, 1].min() > bot_top_y - 0.08
+    assert top_x[:, 1].min() < bot_top_y + 0.1
+    # settled
+    v = np.asarray(state.particles.v)
+    tv = v[top.offset:top.offset + top.mesh.n_vertices]
+    assert np.abs(tv).max() < 1.0
