@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--steps-per-call", type=int, default=20)
     ap.add_argument("--calls", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--timers", action="store_true",
+                    help="print per-phase average times (the reference's "
+                         "Timing::printAverageTimes analogue)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +76,13 @@ def main():
     if args.batch > 1:
         out["aggregate_steps_per_s"] = round(steps_per_s * args.batch, 2)
     print(json.dumps(out))
+
+    if args.timers and args.batch == 1:
+        from positionbaseddynamics_tpu.utils.timing import PhaseTimers
+        timers = PhaseTimers(cset, cfg)
+        timers.measure(state, repeats=3)
+        import sys
+        print(timers.report(), file=sys.stderr)
 
 
 if __name__ == "__main__":

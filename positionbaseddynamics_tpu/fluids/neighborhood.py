@@ -76,3 +76,24 @@ def neighbor_candidates(x: Array, radius, cap_per_cell: int = 12):
     valid = valid & (dist2 < radius * radius)
     valid = valid & (idx != jnp.arange(n, dtype=idx.dtype)[:, None])
     return idx, valid
+
+
+def cell_overflow(x: Array, radius, cap_per_cell: int = 12) -> Array:
+    """Number of particles crowded out by the static ``cap_per_cell``
+    limit: ``Σ_cells max(0, occupancy − cap)``. Zero means the capacity
+    was sufficient this step — the loud-failure counter SURVEY §7
+    requires for every fixed-capacity buffer (the reference's analogue is
+    the hard ``maxParticlesPerCell=50`` truncation,
+    ``NeighborhoodSearchSpatialHashing.h:27``, which fails silently).
+    Cheap (one sort reuse) and jittable; assert on it in tests or poll it
+    periodically in production rollouts."""
+    inv = 1.0 / radius
+    h = _cell_hash(jnp.floor(x * inv).astype(jnp.int32))
+    h_sorted = jnp.sort(h)
+    first = jnp.searchsorted(h_sorted, h_sorted, side="left")
+    last = jnp.searchsorted(h_sorted, h_sorted, side="right")
+    occupancy = last - first
+    # count each cell once (at its first slot)
+    is_first = jnp.arange(h.shape[0]) == first
+    over = jnp.maximum(occupancy - cap_per_cell, 0)
+    return jnp.sum(jnp.where(is_first, over, 0))

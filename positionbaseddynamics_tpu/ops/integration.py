@@ -86,3 +86,13 @@ def angular_velocity_update_first_order(h, inv_mass: Array, q: Array, old_q: Arr
     """``ω = 2/h · vec(q ⊗ q̄_old)`` (``TimeIntegration.cpp:54-66``)."""
     rel = quat.multiply(q, quat.conjugate(old_q))
     return jnp.where(_active(inv_mass), quat.vec(rel) * (2.0 / h), omega)
+
+
+def angular_velocity_update_second_order(h, inv_mass, q, old_q, last_q,
+                                         omega):
+    """Second-order angular velocity reconstruction
+    (``TimeIntegration.cpp:82-96``). NOTE: the reference's implementation
+    is knowingly still first order (its own "ToDo: is still first order"
+    comment) — reproduced faithfully; ``last_q`` is accepted for
+    signature parity and unused."""
+    return angular_velocity_update_first_order(h, inv_mass, q, old_q, omega)

@@ -319,3 +319,150 @@ def solve_shape_matching(x, x0, w, rest_cm, inv_rest_mat_unused, stiffness, q_pr
     goal = cm[None, :] + q0c @ r.T
     corr = jnp.where((w > 0.0)[:, None], stiffness * (goal - x), 0.0)
     return corr, q_new
+
+
+def solve_edge_point_distance(p, w, p0, w0, p1, w1, rest_dist,
+                              compression_stiffness, stretch_stiffness):
+    """Point-vs-edge distance (``solve_EdgePointDistanceConstraint``,
+    ``PositionBasedDynamics.cpp:239-289``): keep a point at ``rest_dist``
+    from its closest point on the segment, with separate compression /
+    stretch stiffness. Returns ``corr (3, 3)`` for (p, p0, p1)."""
+    d = p1 - p0
+    d2 = jnp.dot(d, d)
+    t = jnp.where(d2 < EPS * EPS, 0.5,
+                  jnp.clip(jnp.dot(d, p - p1) * safe_inv(
+                      jnp.maximum(d2, 1e-30)), 0.0, 1.0))
+    q = p0 + d * t
+    n = p - q
+    dist = jnp.linalg.norm(n)
+    n = n * safe_inv(jnp.maximum(dist, 1e-12))
+    c = dist - rest_dist
+    b0 = 1.0 - t
+    b1 = t
+    s_den = w + w0 * b0 * b0 + w1 * b1 * b1
+    k = jnp.where(c < 0.0, compression_stiffness, stretch_stiffness)
+    s = jnp.where(s_den > 0.0, k * c * safe_inv(jnp.maximum(s_den, 1e-30)),
+                  0.0)
+    return jnp.stack([-s * w * n, s * w0 * b0 * n, s * w1 * b1 * n])
+
+
+def solve_triangle_point_distance(p, w, p0, w0, p1, w1, p2, w2, rest_dist,
+                                  compression_stiffness,
+                                  stretch_stiffness):
+    """Point-vs-triangle distance
+    (``solve_TrianglePointDistanceConstraint``,
+    ``PositionBasedDynamics.cpp:291-384``): closest point by barycentric
+    region classification. Returns ``corr (4, 3)`` for (p, p0, p1, p2)."""
+    d1 = p1 - p0
+    d2 = p2 - p0
+    pp0 = p - p0
+    a = jnp.dot(d1, d1)
+    b = jnp.dot(d2, d1)
+    cdot = jnp.dot(pp0, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(pp0, d2)
+    det = a * e - b * b
+    inv_det = safe_inv(jnp.where(det != 0.0, det, 1.0))
+    s = (cdot * e - b * f) * inv_det
+    t = (a * f - cdot * b) * inv_det
+    b0 = jnp.where(det != 0.0, 1.0 - s - t, 1.0 / 3.0)
+    b1 = jnp.where(det != 0.0, s, 1.0 / 3.0)
+    b2 = jnp.where(det != 0.0, t, 1.0 / 3.0)
+
+    def edge_t(pa, pb, pt):
+        dd = pb - pa
+        dd2 = jnp.dot(dd, dd)
+        return jnp.where(dd2 == 0.0, 0.5,
+                         jnp.clip(jnp.dot(dd, pt - pa) * safe_inv(
+                             jnp.maximum(dd2, 1e-30)), 0.0, 1.0))
+
+    # region edges (evaluated branchlessly, last-writer-wins ordering of
+    # the reference's else-if chain)
+    t12 = edge_t(p1, p2, p)
+    t20 = edge_t(p2, p0, p)
+    t01 = edge_t(p0, p1, p)
+    on12 = (det != 0.0) & (b0 < 0.0)
+    on20 = (det != 0.0) & (b0 >= 0.0) & (b1 < 0.0)
+    on01 = (det != 0.0) & (b0 >= 0.0) & (b1 >= 0.0) & (b2 < 0.0)
+    b0 = jnp.where(on12, 0.0, jnp.where(on20, t20,
+                                        jnp.where(on01, 1.0 - t01, b0)))
+    b1 = jnp.where(on12, 1.0 - t12, jnp.where(on20, 0.0,
+                                              jnp.where(on01, t01, b1)))
+    b2 = jnp.where(on12, t12, jnp.where(on20, 1.0 - t20,
+                                        jnp.where(on01, 0.0, b2)))
+
+    q = p0 * b0 + p1 * b1 + p2 * b2
+    n = p - q
+    dist = jnp.linalg.norm(n)
+    n = n * safe_inv(jnp.maximum(dist, 1e-12))
+    c = dist - rest_dist
+    s_den = w + w0 * b0 * b0 + w1 * b1 * b1 + w2 * b2 * b2
+    k = jnp.where(c < 0.0, compression_stiffness, stretch_stiffness)
+    ss = jnp.where(s_den > 0.0, k * c * safe_inv(jnp.maximum(s_den, 1e-30)),
+                   0.0)
+    return jnp.stack([-ss * w * n, ss * w0 * b0 * n, ss * w1 * b1 * n,
+                      ss * w2 * b2 * n])
+
+
+def solve_edge_edge_distance(p0, w0, p1, w1, p2, w2, p3, w3, rest_dist,
+                             compression_stiffness, stretch_stiffness):
+    """Edge-vs-edge distance (``solve_EdgeEdgeDistanceConstraint``,
+    ``PositionBasedDynamics.cpp:386-478``); the degenerate parallel case
+    uses the overlap-midpoint rule of the reference. Returns
+    ``corr (4, 3)``."""
+    d0 = p1 - p0
+    d1 = p3 - p2
+    a = jnp.dot(d0, d0)
+    b = -jnp.dot(d0, d1)
+    cc = jnp.dot(d0, d1)
+    d = -jnp.dot(d1, d1)
+    e = jnp.dot(p2 - p0, d0)
+    f = jnp.dot(p2 - p0, d1)
+    det = a * d - b * cc
+    nondeg = det != 0.0
+    inv_det = safe_inv(jnp.where(nondeg, det, 1.0))
+    s_nd = (e * d - b * f) * inv_det
+    t_nd = (a * f - e * cc) * inv_det
+
+    # parallel case: overlap midpoint along d0
+    s0 = jnp.dot(p0, d0)
+    s1 = jnp.dot(p1, d0)
+    t0 = jnp.dot(p2, d0)
+    t1 = jnp.dot(p3, d0)
+    flip0 = s0 > s1
+    flip1 = t0 > t1
+    s0s, s1s = jnp.minimum(s0, s1), jnp.maximum(s0, s1)
+    t0s, t1s = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+    disjoint_a = s0s >= t1s
+    disjoint_b = t0s >= s1s
+    mid = jnp.where(s0s > t0s, 0.5 * (s0s + t1s), 0.5 * (t0s + s1s))
+    s_ov = jnp.where(s0s == s1s, 0.5,
+                     (mid - s0s) * safe_inv(jnp.where(s1s != s0s,
+                                                      s1s - s0s, 1.0)))
+    t_ov = jnp.where(t0s == t1s, 0.5,
+                     (mid - t0s) * safe_inv(jnp.where(t1s != t0s,
+                                                      t1s - t0s, 1.0)))
+    s_par = jnp.where(disjoint_a, jnp.where(flip0, 1.0, 0.0),
+                      jnp.where(disjoint_b, jnp.where(flip0, 0.0, 1.0),
+                                s_ov))
+    t_par = jnp.where(disjoint_a, jnp.where(flip1, 0.0, 1.0),
+                      jnp.where(disjoint_b, jnp.where(flip1, 1.0, 0.0),
+                                t_ov))
+
+    s = jnp.clip(jnp.where(nondeg, s_nd, s_par), 0.0, 1.0)
+    t = jnp.clip(jnp.where(nondeg, t_nd, t_par), 0.0, 1.0)
+
+    b0, b1 = 1.0 - s, s
+    b2, b3 = 1.0 - t, t
+    q0 = p0 * b0 + p1 * b1
+    q1 = p2 * b2 + p3 * b3
+    n = q0 - q1
+    dist = jnp.linalg.norm(n)
+    n = n * safe_inv(jnp.maximum(dist, 1e-12))
+    c = dist - rest_dist
+    s_den = w0 * b0 * b0 + w1 * b1 * b1 + w2 * b2 * b2 + w3 * b3 * b3
+    k = jnp.where(c < 0.0, compression_stiffness, stretch_stiffness)
+    ss = jnp.where(s_den > 0.0, k * c * safe_inv(jnp.maximum(s_den, 1e-30)),
+                   0.0)
+    return jnp.stack([-ss * w0 * b0 * n, -ss * w1 * b1 * n,
+                      ss * w2 * b2 * n, ss * w3 * b3 * n])
