@@ -213,6 +213,7 @@ class SceneBuilder:
     _darboux: list = field(default_factory=list)        # (idx5, ks3, midlen)
     _generics: list = field(default_factory=list)       # (fn, idx, k)
     _rigid_generics: list = field(default_factory=list)  # (fn, bodies, k)
+    _direct_rods: list = field(default_factory=list)    # chain specs
     # structured grid cloth specs: offset -> {hw, distance, bending}
     _grid_cloth_specs: dict = field(default_factory=dict)
 
@@ -760,6 +761,22 @@ class SceneBuilder:
         ks = np.broadcast_to(np.asarray(stiffness, np.float32), (1, 3)).copy()
         self._bend_twist.append((_chunk2(qi, qj), ks))
 
+    def add_direct_rod_chain(self, bodies, positions, average_radius,
+                             average_segment_length, youngs_modulus,
+                             torsion_modulus):
+        """Register one stiff-rod chain for the exact per-rod direct
+        solver (``DirectPositionBasedSolverForStiffRods``,
+        ``PositionBasedElasticRods.cpp:735-1226``): ``bodies (S,)``
+        segment rigid bodies in chain order, ``positions (S-1, 3)`` world
+        constraint positions between consecutive segments."""
+        self._direct_rods.append(dict(
+            bodies=np.asarray(bodies, np.int32),
+            positions=np.asarray(positions, np.float64),
+            radius=float(average_radius),
+            seg_len=float(average_segment_length),
+            youngs=float(youngs_modulus),
+            torsion=float(torsion_modulus)))
+
     # ---- generic (autodiff) constraints ----------------------------------
 
     def add_generic_constraints(self, fn, indices, stiffness=1.0,
@@ -1108,6 +1125,25 @@ class SceneBuilder:
             inv_m = np.where(self._masses() > 0.0, 1.0 /
                              np.maximum(self._masses(), 1e-30), 0.0)
             kw["shape_matching"] = batch.finalize(inv_m)
+        if self._direct_rods:
+            from ..solver.direct_rods import DirectRodBatch
+            rxq = np.stack(self._rb_x)
+            rqq = np.stack(self._rb_q)
+            # group chains of equal segment count into one vmapped batch
+            by_len: dict = {}
+            for spec in self._direct_rods:
+                by_len.setdefault(len(spec["bodies"]), []).append(spec)
+            batches = []
+            for s, specs in sorted(by_len.items()):
+                batches.append(DirectRodBatch.create(
+                    np.stack([sp["bodies"] for sp in specs]),
+                    np.stack([sp["positions"] for sp in specs]),
+                    rxq, rqq,
+                    np.array([[sp["radius"]] * (s - 1) for sp in specs]),
+                    np.array([[sp["seg_len"]] * (s - 1) for sp in specs]),
+                    np.array([[sp["youngs"]] * (s - 1) for sp in specs]),
+                    np.array([[sp["torsion"]] * (s - 1) for sp in specs])))
+            kw["direct_rods"] = tuple(batches)
         if self._generics:
             from ..solver.constraints import GenericConstraintBatch
             kw["generics"] = tuple(

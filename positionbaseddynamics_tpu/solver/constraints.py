@@ -1056,6 +1056,7 @@ class ConstraintSet:
     darboux_vector: Optional[DarbouxVectorBatch] = None
     generics: Tuple = ()          # GenericConstraintBatch instances
     rigid_generics: Tuple = ()    # GenericRigidBatch instances
+    direct_rods: Tuple = ()       # DirectRodBatch instances (stiff rods)
     stretch_shear: Optional[StretchShearBatch] = None
     bend_twist: Optional[BendTwistBatch] = None
     joints: Tuple = ()

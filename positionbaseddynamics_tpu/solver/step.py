@@ -204,6 +204,8 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
     rq = rigid.q if rigid is not None else None
     for k, jb in enumerate(cset.joints):
         lams[f"joint{k}"] = jb.init_lambda()
+    for k, db in enumerate(cset.direct_rods):
+        lams[f"direct_rod{k}"] = db.init_lambda()
     if cset.grid_cloths and cfg.solver_mode == "gauss_seidel":
         raise ValueError(
             "structured grid cloth supports the jacobi solver mode only; "
@@ -222,6 +224,21 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
         if rigid is not None and cset.joints:
             rx, rq, x = _project_joints(
                 rx, rq, rigid, x, inv_mass, cset, lams, time, dt, cfg)
+        if rigid is not None and cset.direct_rods:
+            # exact per-rod tree/chain solve (DirectPositionBasedSolver
+            # ForStiffRods, PositionBasedElasticRods.cpp:735-1226)
+            from ..ops import rigidbody as _rb
+            nr = rx.shape[0]
+            for k, db in enumerate(cset.direct_rods):
+                iw = _masked_inv_inertia_w(rq, rigid.inertia0,
+                                           rigid.inv_mass)
+                corr_x, ot, lams[f"direct_rod{k}"] = db.solve(
+                    rx, rq, rigid.inv_mass, iw, lams[f"direct_rod{k}"], dt)
+                flat_b = db.bodies.reshape(-1)
+                rx = rx.at[flat_b].add(corr_x.reshape(-1, 3))
+                dq = jax.vmap(_rb.rotation_correction)(
+                    ot.reshape(-1, 3), rq[flat_b])
+                rq = quat.normalize(rq.at[flat_b].add(dq))
         if rigid is not None and cset.rigid_generics:
             nr = rx.shape[0]
             for gb in cset.rigid_generics:
