@@ -15,6 +15,57 @@ import json
 import time
 
 
+def bench_mpc(args):
+    """Sampling-MPC throughput: one MPPI planner update = K vmapped
+    rollouts of `horizon` steps on a 32x32 XPBD cloth (the north-star
+    workload shape: trajectory rollouts feeding a sampling planner)."""
+    import jax
+    import jax.numpy as jnp
+    from positionbaseddynamics_tpu import mpc
+    from positionbaseddynamics_tpu.models import SceneBuilder
+    from positionbaseddynamics_tpu.solver import StepConfig
+
+    n = 32
+    b = SceneBuilder()
+    tm = b.add_regular_triangle_model(n, n)
+    pin = tm.offset
+    b.set_mass(pin, 0.0)
+    b.add_cloth_constraints(tm, method=4, distance_stiffness=1e5)
+    b.add_bending_constraints(tm, method=3, stiffness=0.05)
+    state, cset = b.build()
+    cfg = StepConfig(dt=0.01, substeps=2, damping=0.01)
+
+    ctrl = mpc.PinVelocityControl(indices=(int(pin),), max_speed=2.0)
+    target = jnp.asarray(state.particles.x[pin]) + jnp.array([0.5, 0.5, 0.0])
+    seq_cost = mpc.make_sequence_cost(
+        cset, cfg, ctrl,
+        running_cost=mpc.control_effort(1e-3),
+        terminal_cost=mpc.particle_target([int(pin)], target))
+    mcfg = mpc.MPPIConfig(horizon=args.mpc_horizon,
+                          num_samples=args.mpc_samples, plan_iters=1)
+    nominal = jnp.zeros((mcfg.horizon, ctrl.u_dim), jnp.float32)
+
+    upd = jax.jit(lambda k, s, nom: mpc.mppi_update(k, s, nom, seq_cost,
+                                                    mcfg)[0])
+    key = jax.random.PRNGKey(0)
+    nominal = jax.block_until_ready(upd(key, state, nominal))  # compile
+
+    t0 = time.perf_counter()
+    for i in range(args.calls):
+        nominal = upd(jax.random.PRNGKey(i), state, nominal)
+    jax.block_until_ready(nominal)
+    dt = time.perf_counter() - t0
+
+    rollouts = args.calls * args.mpc_samples
+    print(json.dumps({
+        "metric": f"mppi_cloth1k_rollouts_per_s_k{args.mpc_samples}"
+                  f"_h{args.mpc_horizon}",
+        "value": round(rollouts / dt, 2),
+        "unit": "rollouts/s",
+        "vs_baseline": round(rollouts / dt / 60.0, 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=320)
@@ -25,7 +76,15 @@ def main():
     ap.add_argument("--timers", action="store_true",
                     help="print per-phase average times (the reference's "
                          "Timing::printAverageTimes analogue)")
+    ap.add_argument("--mpc", action="store_true",
+                    help="benchmark MPPI planner rollouts/s instead "
+                         "(north-star sampling-MPC workload)")
+    ap.add_argument("--mpc-samples", type=int, default=256)
+    ap.add_argument("--mpc-horizon", type=int, default=10)
     args = ap.parse_args()
+
+    if args.mpc:
+        return bench_mpc(args)
 
     import jax
     import jax.numpy as jnp

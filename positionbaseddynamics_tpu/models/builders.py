@@ -1040,44 +1040,56 @@ class SceneBuilder:
 
         kw = {}
         if self._distance:
-            xpbd_flags = {c[2] for c in self._distance}
-            if len(xpbd_flags) > 1:
-                raise ValueError("mixed XPBD/classic distance constraints in "
-                                 "one scene are not supported yet")
-            idx = np.concatenate([c[0] for c in self._distance])
-            rest = np.linalg.norm(x[idx[:, 0]] - x[idx[:, 1]], axis=-1)
-            kw["distance"] = DistanceBatch.create(
-                idx, rest, np.concatenate([c[1] for c in self._distance]),
-                xpbd_mode=xpbd_flags.pop())
+            extras = kw.setdefault("_extras", [])
+            for fi, flag in enumerate(sorted({c[2] for c in self._distance})):
+                cs = [c for c in self._distance if c[2] == flag]
+                idx = np.concatenate([c[0] for c in cs])
+                rest = np.linalg.norm(x[idx[:, 0]] - x[idx[:, 1]], axis=-1)
+                batch = DistanceBatch.create(
+                    idx, rest, np.concatenate([c[1] for c in cs]),
+                    xpbd_mode=flag)
+                if "distance" not in kw:
+                    kw["distance"] = batch
+                else:
+                    extras.append(batch)
         if self._dihedral:
             kw["dihedral"] = DihedralBatch.create(
                 np.concatenate([c[0] for c in self._dihedral]), x,
                 np.concatenate([c[1] for c in self._dihedral]))
         if self._iso_bending:
-            xpbd_flags = {c[2] for c in self._iso_bending}
-            if len(xpbd_flags) > 1:
-                raise ValueError("mixed XPBD/classic bending in one scene")
-            kw["isometric_bending"] = IsometricBendingBatch.create(
-                np.concatenate([c[0] for c in self._iso_bending]), x,
-                np.concatenate([c[1] for c in self._iso_bending]),
-                xpbd_mode=xpbd_flags.pop())
+            extras = kw.setdefault("_extras", [])
+            for flag in sorted({c[2] for c in self._iso_bending}):
+                cs = [c for c in self._iso_bending if c[2] == flag]
+                batch = IsometricBendingBatch.create(
+                    np.concatenate([c[0] for c in cs]), x,
+                    np.concatenate([c[1] for c in cs]), xpbd_mode=flag)
+                if "isometric_bending" not in kw:
+                    kw["isometric_bending"] = batch
+                else:
+                    extras.append(batch)
         if self._volume:
-            xpbd_flags = {c[2] for c in self._volume}
-            if len(xpbd_flags) > 1:
-                raise ValueError("mixed XPBD/classic volume in one scene")
-            kw["volume"] = VolumeBatch.create(
-                np.concatenate([c[0] for c in self._volume]), x,
-                np.concatenate([c[1] for c in self._volume]),
-                xpbd_mode=xpbd_flags.pop())
+            extras = kw.setdefault("_extras", [])
+            for flag in sorted({c[2] for c in self._volume}):
+                cs = [c for c in self._volume if c[2] == flag]
+                batch = VolumeBatch.create(
+                    np.concatenate([c[0] for c in cs]), x,
+                    np.concatenate([c[1] for c in cs]), xpbd_mode=flag)
+                if "volume" not in kw:
+                    kw["volume"] = batch
+                else:
+                    extras.append(batch)
         if self._fem_tet:
-            xpbd_flags = {c[3] for c in self._fem_tet}
-            if len(xpbd_flags) > 1:
-                raise ValueError("mixed XPBD/classic FEM tets in one scene")
-            kw["fem_tetra"] = FEMTetraBatch.create(
-                np.concatenate([c[0] for c in self._fem_tet]), x,
-                np.concatenate([c[1] for c in self._fem_tet]),
-                np.concatenate([c[2] for c in self._fem_tet]),
-                xpbd_mode=xpbd_flags.pop())
+            extras = kw.setdefault("_extras", [])
+            for flag in sorted({c[3] for c in self._fem_tet}):
+                cs = [c for c in self._fem_tet if c[3] == flag]
+                batch = FEMTetraBatch.create(
+                    np.concatenate([c[0] for c in cs]), x,
+                    np.concatenate([c[1] for c in cs]),
+                    np.concatenate([c[2] for c in cs]), xpbd_mode=flag)
+                if "fem_tetra" not in kw:
+                    kw["fem_tetra"] = batch
+                else:
+                    extras.append(batch)
         if self._fem_tri:
             kw["fem_triangle"] = FEMTriangleBatch.create(
                 np.concatenate([c[0] for c in self._fem_tri]), x,
@@ -1087,15 +1099,19 @@ class SceneBuilder:
                 np.concatenate([c[4] for c in self._fem_tri]),
                 np.concatenate([c[5] for c in self._fem_tri]))
         if self._strain_tri:
-            flags = {(c[3], c[4]) for c in self._strain_tri}
-            if len(flags) > 1:
-                raise ValueError("mixed strain normalization flags")
-            ns, nh = flags.pop()
-            kw["strain_triangle"] = StrainTriangleBatch.create(
-                np.concatenate([c[0] for c in self._strain_tri]), x,
-                np.concatenate([c[1] for c in self._strain_tri]),
-                np.concatenate([c[2] for c in self._strain_tri]),
-                normalize_stretch=ns, normalize_shear=nh)
+            extras = kw.setdefault("_extras", [])
+            for ns, nh in sorted({(c[3], c[4]) for c in self._strain_tri}):
+                cs = [c for c in self._strain_tri
+                      if (c[3], c[4]) == (ns, nh)]
+                batch = StrainTriangleBatch.create(
+                    np.concatenate([c[0] for c in cs]), x,
+                    np.concatenate([c[1] for c in cs]),
+                    np.concatenate([c[2] for c in cs]),
+                    normalize_stretch=ns, normalize_shear=nh)
+                if "strain_triangle" not in kw:
+                    kw["strain_triangle"] = batch
+                else:
+                    extras.append(batch)
         if self._strain_tet:
             flags = {(c[3], c[4]) for c in self._strain_tet}
             if len(flags) > 1:
@@ -1196,6 +1212,7 @@ class SceneBuilder:
 
         rigid = self._build_rigid()
         kw["joints"] = self._build_joints(x)
+        kw["extra_batches"] = tuple(kw.pop("_extras", ()))
         cset = ConstraintSet(**kw).with_jacobi_counts(
             x.shape[0], q0.shape[0] if q0 is not None else 0)
         return SimState.create(particles, orientations, rigid), cset

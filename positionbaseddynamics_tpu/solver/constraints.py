@@ -1057,6 +1057,11 @@ class ConstraintSet:
     generics: Tuple = ()          # GenericConstraintBatch instances
     rigid_generics: Tuple = ()    # GenericRigidBatch instances
     direct_rods: Tuple = ()       # DirectRodBatch instances (stiff rods)
+    # overflow slots for families mixing classic/XPBD (or strain flags)
+    # in one scene — the reference freely mixes methods per model
+    # (SimulationModel::addSolidConstraints), so the builder partitions
+    # by flag instead of rejecting (named f"extra{i}" in the solve order)
+    extra_batches: Tuple = ()
     stretch_shear: Optional[StretchShearBatch] = None
     bend_twist: Optional[BendTwistBatch] = None
     joints: Tuple = ()
@@ -1096,6 +1101,7 @@ class ConstraintSet:
             if getattr(self, name) is not None
         ]
         named += [(f"generic{i}", b) for i, b in enumerate(self.generics)]
+        named += [(f"extra{i}", b) for i, b in enumerate(self.extra_batches)]
         return named
 
     def init_lambdas(self):

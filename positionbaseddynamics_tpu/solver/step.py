@@ -48,6 +48,11 @@ class StepConfig:
     damping: float = 0.0  # per-substep v *= (1-damping), the ghost-rod
     # stepper's damping knob (PositionBasedElasticRodsTSC.cpp:63,73)
     gravity: tuple = (0.0, -9.81, 0.0)
+    # "jacobi" is the production TPU mode (averaged batched projection).
+    # "gauss_seidel" exactly reproduces the reference's color-sequential
+    # solve for parity testing (tests/test_reference_parity.py) but does
+    # num_colors redundant batched solves per pass — a parity ORACLE,
+    # not a performance mode.
     solver_mode: str = "jacobi"      # "jacobi" | "gauss_seidel"
     jacobi_omega: float = 1.0        # SOR weight for averaged Jacobi
     joint_solver_mode: str = "gauss_seidel"

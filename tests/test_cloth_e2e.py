@@ -214,3 +214,25 @@ def test_shape_matching_translation_invariant():
         jnp.asarray(x), jnp.asarray(x0), jnp.asarray(w),
         jnp.asarray(cm0), jnp.float32(1.0), jnp.ones(6)))
     np.testing.assert_allclose(corr, 0.0, atol=1e-5)
+
+
+def test_mixed_xpbd_and_classic_families_in_one_scene():
+    """The reference freely mixes constraint methods per model
+    (SimulationModel::addSolidConstraints); mixed classic/XPBD families
+    partition into separate batches instead of being rejected."""
+    b = SceneBuilder(use_structured_grid=False)
+    t1 = b.add_regular_triangle_model(6, 6)
+    t2 = b.add_regular_triangle_model(6, 6, translation=(2.0, 0, 0))
+    b.set_mass(t1.offset, 0.0)
+    b.set_mass(t2.offset, 0.0)
+    b.add_cloth_constraints(t1, method=1, distance_stiffness=1.0)   # classic
+    b.add_cloth_constraints(t2, method=4, distance_stiffness=1e5)   # XPBD
+    b.add_bending_constraints(t1, method=2, stiffness=0.05)         # classic
+    b.add_bending_constraints(t2, method=3, stiffness=0.05)         # XPBD
+    state, cset = b.build()
+    assert len(cset.extra_batches) == 2
+    final, _ = jax.jit(lambda s: rollout(s, cset, StepConfig(), 40))(state)
+    x = np.asarray(final.particles.x)
+    assert np.isfinite(x).all()
+    # both cloths hang from their pins and stay coherent
+    assert x[:, 1].min() > -2.0
