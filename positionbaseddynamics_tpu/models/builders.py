@@ -769,13 +769,19 @@ class SceneBuilder:
         ``PositionBasedElasticRods.cpp:735-1226``): ``bodies (S,)``
         segment rigid bodies in chain order, ``positions (S-1, 3)`` world
         constraint positions between consecutive segments."""
+        bodies = np.asarray(bodies, np.int32)
+        nc = len(bodies) - 1
         self._direct_rods.append(dict(
-            bodies=np.asarray(bodies, np.int32),
+            bodies=bodies,
             positions=np.asarray(positions, np.float64),
-            radius=float(average_radius),
-            seg_len=float(average_segment_length),
-            youngs=float(youngs_modulus),
-            torsion=float(torsion_modulus)))
+            radius=np.broadcast_to(np.asarray(average_radius, np.float64),
+                                   (nc,)).copy(),
+            seg_len=np.broadcast_to(
+                np.asarray(average_segment_length, np.float64), (nc,)).copy(),
+            youngs=np.broadcast_to(np.asarray(youngs_modulus, np.float64),
+                                   (nc,)).copy(),
+            torsion=np.broadcast_to(np.asarray(torsion_modulus, np.float64),
+                                    (nc,)).copy()))
 
     # ---- generic (autodiff) constraints ----------------------------------
 
@@ -1155,10 +1161,10 @@ class SceneBuilder:
                     np.stack([sp["bodies"] for sp in specs]),
                     np.stack([sp["positions"] for sp in specs]),
                     rxq, rqq,
-                    np.array([[sp["radius"]] * (s - 1) for sp in specs]),
-                    np.array([[sp["seg_len"]] * (s - 1) for sp in specs]),
-                    np.array([[sp["youngs"]] * (s - 1) for sp in specs]),
-                    np.array([[sp["torsion"]] * (s - 1) for sp in specs])))
+                    np.stack([sp["radius"] for sp in specs]),
+                    np.stack([sp["seg_len"] for sp in specs]),
+                    np.stack([sp["youngs"] for sp in specs]),
+                    np.stack([sp["torsion"] for sp in specs])))
             kw["direct_rods"] = tuple(batches)
         if self._generics:
             from ..solver.constraints import GenericConstraintBatch

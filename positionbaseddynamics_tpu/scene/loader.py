@@ -147,7 +147,8 @@ def _sim_get(sim: dict, key: str, default, *aliases):
 
 def load_scene_dict(data: dict, base_path: str = ".",
                     cache_dir: Optional[str] = None,
-                    max_sdf_resolution: Optional[int] = None) -> LoadedScene:
+                    max_sdf_resolution: Optional[int] = None,
+                    enable_collision: bool = True) -> LoadedScene:
     """Build a scene from an already-parsed JSON dict. ``base_path``
     resolves relative model paths (the scene file's directory).
     ``max_sdf_resolution`` optionally caps per-axis SDF bake resolution
@@ -223,9 +224,11 @@ def load_scene_dict(data: dict, base_path: str = ".",
             velocity=rbd.get("velocity", (0.0, 0.0, 0.0)),
             omega=rbd.get("angularVelocity", (0.0, 0.0, 0.0)))
         rigid_ids[int(rbd.get("id", len(rigid_ids)))] = body
-        shape = _collision_shape(
-            rbd, np.asarray(geo["vertices"]) * c["scale"], geo["faces"],
-            cache_dir)
+        shape = None
+        if enable_collision:
+            shape = _collision_shape(
+                rbd, np.asarray(geo["vertices"]) * c["scale"], geo["faces"],
+                cache_dir)
         if shape is not None:
             b.add_collision_object(body, shape,
                                    restitution=c["restitution"],
@@ -293,7 +296,9 @@ def load_scene_dict(data: dict, base_path: str = ".",
                 normalize_shear=bool(_sim_get(sim, "solid_normalizeShear",
                                               False)))
         b.set_particle_collider(h, restitution=rest, friction=fric)
-        if int(tmd.get("collisionObjectType", NO_COLLISION)) == SDF_T:
+        if (enable_collision
+                and int(tmd.get("collisionObjectType",
+                                NO_COLLISION)) == SDF_T):
             # deformable solid-solid target: rest-pose SDF + ref-tet map
             res = tmd.get("resolutionSDF", (20, 20, 20))
             b.set_tet_collider(h, restitution=rest, friction=fric,
@@ -301,6 +306,42 @@ def load_scene_dict(data: dict, base_path: str = ".",
                                cache_dir=cache_dir)
             has_collision = True
         tet_models.append((int(tmd.get("id", len(tet_models))), h))
+
+    # -- stiff-rod tree models (StiffRodsDemos scene extension) --------------
+    # CosseratJoints + TreeModels declare rod chains over rigid segments
+    # (Demos/StiffRodsDemos/StiffRodsSceneLoader.cpp;
+    # DirectPositionBasedSolverForStiffRodsDemo.cpp:700-745: average
+    # radius/length derived from the two segments' scales, rod axis = y)
+    if data.get("CosseratJoints") and data.get("TreeModels"):
+        joints_by_id = {int(j["id"]): j for j in data["CosseratJoints"]}
+        rb_scale = {int(rbd["id"]): np.asarray(
+            rbd.get("scale", (1, 1, 1)), np.float64)
+            for rbd in data.get("RigidBodies", [])}
+        for tree in data["TreeModels"]:
+            rb_ids = [int(i) for i in tree.get("rbIds", [])]
+            j_ids = [int(i) for i in tree.get("jIds", [])]
+            if not rb_ids or not j_ids:
+                continue
+            if any(i not in rigid_ids for i in rb_ids):
+                continue
+            chain = [rigid_ids[i] for i in rb_ids]
+            for seg in tree.get("staticSegments", []):
+                body = rigid_ids.get(int(seg))
+                if body is not None:
+                    b._rb_mass[body] = 0.0
+            positions, radii, seg_lens = [], [], []
+            for k, jid in enumerate(j_ids):
+                jd = joints_by_id[jid]
+                positions.append(np.asarray(jd["position"], np.float64))
+                sa = rb_scale[int(jd["bodyID1"])]
+                sb = rb_scale[int(jd["bodyID2"])]
+                radii.append(0.125 * (sa[0] + sa[2] + sb[0] + sb[2]))
+                seg_lens.append(0.5 * (sa[1] + sb[1]))
+            b.add_direct_rod_chain(
+                chain, np.asarray(positions),
+                np.asarray(radii), np.asarray(seg_lens),
+                float(tree.get("youngsModulus", 1e9)),
+                float(tree.get("torsionModulus", 1e9)))
 
     # -- joints (SceneLoaderDemo.cpp:766-860) --------------------------------
     def bodies(jd):
@@ -368,7 +409,8 @@ def load_scene_dict(data: dict, base_path: str = ".",
 
 
 def load_scene(path: str, cache_dir: Optional[str] = None,
-               max_sdf_resolution: Optional[int] = None) -> LoadedScene:
+               max_sdf_resolution: Optional[int] = None,
+               enable_collision: bool = True) -> LoadedScene:
     """Read a scene JSON file (``SceneLoader::readScene``,
     ``Utils/SceneLoader.cpp:17-140``) and build it. Relative model paths
     resolve against the scene file's directory; baked SDFs cache under
@@ -382,4 +424,5 @@ def load_scene(path: str, cache_dir: Optional[str] = None,
         data = json.load(f)
     return load_scene_dict(data, base_path=os.path.dirname(
         os.path.abspath(path)), cache_dir=cache_dir,
-        max_sdf_resolution=max_sdf_resolution)
+        max_sdf_resolution=max_sdf_resolution,
+        enable_collision=enable_collision)

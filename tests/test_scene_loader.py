@@ -102,3 +102,30 @@ def test_deformable_solid_collision_scene():
     state = _run(s, 25)
     assert np.isfinite(np.asarray(state.particles.x)).all()
     assert np.isfinite(np.asarray(state.rigid.x)).all()
+
+
+def test_wilberforce_scene_stiff_rods():
+    """The StiffRods scene extension (CosseratJoints + TreeModels,
+    Demos/StiffRodsDemos/StiffRodsSceneLoader.cpp): an 82-segment steel
+    helix chain solved by the direct stiff-rod solver; the Wilberforce
+    pendulum scene of the reference."""
+    s = load_scene(f"{SCENES}/Wilberforce_scene.json", cache_dir=CACHE,
+                   enable_collision=False)
+    assert len(s.rigid_ids) == 82
+    assert len(s.cset.direct_rods) == 1
+    db = s.cset.direct_rods[0]
+    assert db.bodies.shape == (1, 82)
+    inv_m = np.asarray(s.state.rigid.inv_mass)
+    assert (inv_m == 0).sum() == 1        # one static anchor segment
+    state = _run(s, 20)
+    x = np.asarray(state.rigid.x)
+    q = np.asarray(state.rigid.q)
+    assert np.isfinite(x).all() and np.isfinite(q).all()
+    # the steel helix holds together: segment COM spacing stays at its
+    # initial value (a broken chain would stretch, an unstable solve
+    # would blow up)
+    chain = np.asarray(db.bodies)[0]
+    x0 = np.asarray(s.state.rigid.x)
+    d0 = np.linalg.norm(np.diff(x0[chain], axis=0), axis=1)
+    d = np.linalg.norm(np.diff(x[chain], axis=0), axis=1)
+    np.testing.assert_allclose(d, d0, atol=0.02)
