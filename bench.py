@@ -81,6 +81,13 @@ def main():
                          "(north-star sampling-MPC workload)")
     ap.add_argument("--mpc-samples", type=int, default=256)
     ap.add_argument("--mpc-horizon", type=int, default=10)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed loop "
+                         "into DIR (inspect with TensorBoard/XProf)")
+    ap.add_argument("--donate", action="store_true",
+                    help="attempt buffer donation of the state (known to "
+                         "fail with INVALID_ARGUMENT on tunneled axon "
+                         "backends; reports instead of crashing)")
     args = ap.parse_args()
 
     if args.mpc:
@@ -103,23 +110,46 @@ def main():
     def chunk(s):
         return rollout(s, cset, cfg, args.steps_per_call)[0]
 
-    # NOTE: no donate_argnums — buffer donation triggers an INVALID_ARGUMENT
-    # TPU backend error on this image's tunneled (axon) backend.
+    # NOTE: default has no donate_argnums — buffer donation triggers an
+    # INVALID_ARGUMENT TPU backend error on this image's tunneled (axon)
+    # backend; --donate probes it and falls back with a report.
+    donate = dict(donate_argnums=(0,)) if args.donate else {}
     if args.batch > 1:
         state = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (args.batch,) + a.shape), state)
-        chunk_fn = jax.jit(jax.vmap(chunk))
+        chunk_fn = jax.jit(jax.vmap(chunk), **donate)
     else:
-        chunk_fn = jax.jit(chunk)
+        chunk_fn = jax.jit(chunk, **donate)
+    if args.donate:
+        import sys
+        try:
+            state = jax.block_until_ready(chunk_fn(state))
+            print("donation: OK (state buffers aliased in-place)",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover - backend dependent
+            print(f"donation: unsupported on this backend "
+                  f"({type(e).__name__}); falling back to copies",
+                  file=sys.stderr)
+            state, cset = b.build()       # donated buffers are invalid
+            if args.batch > 1:
+                state = jax.tree.map(
+                    lambda a: jnp.broadcast_to(
+                        a, (args.batch,) + a.shape), state)
+            chunk_fn = (jax.jit(jax.vmap(chunk)) if args.batch > 1
+                        else jax.jit(chunk))
 
     state = chunk_fn(state)               # warmup / compile
     jax.block_until_ready(state)
 
-    t0 = time.perf_counter()
-    for _ in range(args.calls):
-        state = chunk_fn(state)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
+    import contextlib
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        t0 = time.perf_counter()
+        for _ in range(args.calls):
+            state = chunk_fn(state)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
 
     steps = args.calls * args.steps_per_call
     steps_per_s = steps / dt

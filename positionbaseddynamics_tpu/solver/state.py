@@ -49,8 +49,12 @@ class ParticleState:
         x = jnp.asarray(x, jnp.float32)
         masses = jnp.asarray(masses, jnp.float32)
         inv_mass = jnp.where(masses != 0.0, 1.0 / jnp.where(masses != 0.0, masses, 1.0), 0.0)
-        zeros = jnp.zeros_like(x)
-        return ParticleState(x=x, v=zeros, old_x=x, last_x=x, x0=x, inv_mass=inv_mass)
+        # distinct buffers for every field (x repeated into old/last/x0
+        # would alias one device buffer and break jit buffer DONATION
+        # with "attempt to donate the same buffer twice")
+        return ParticleState(x=x, v=jnp.zeros_like(x), old_x=x.copy(),
+                             last_x=x.copy(), x0=x.copy(),
+                             inv_mass=inv_mass)
 
     @property
     def n(self) -> int:
@@ -76,7 +80,9 @@ class OrientationState:
         masses = jnp.asarray(masses, jnp.float32)
         inv_mass = jnp.where(masses != 0.0, 1.0 / jnp.where(masses != 0.0, masses, 1.0), 0.0)
         omega = jnp.zeros(q.shape[:-1] + (3,), q.dtype)
-        return OrientationState(q=q, omega=omega, old_q=q, last_q=q, q0=q, inv_mass=inv_mass)
+        return OrientationState(q=q, omega=omega, old_q=q.copy(),
+                                last_q=q.copy(), q0=q.copy(),
+                                inv_mass=inv_mass)
 
     @property
     def n(self) -> int:
@@ -113,12 +119,12 @@ class RigidState:
         masses = jnp.asarray(masses, jnp.float32)
         inertia0 = jnp.asarray(inertia_diag, jnp.float32)
         inv_mass = jnp.where(masses != 0.0, 1.0 / jnp.where(masses != 0.0, masses, 1.0), 0.0)
-        zeros3 = jnp.zeros_like(x)
         return RigidState(
-            x=x, v=zeros3, q=q, omega=zeros3,
-            old_x=x, last_x=x, old_q=q, last_q=q, x0=x, q0=q,
+            x=x, v=jnp.zeros_like(x), q=q, omega=jnp.zeros_like(x),
+            old_x=x.copy(), last_x=x.copy(), old_q=q.copy(),
+            last_q=q.copy(), x0=x.copy(), q0=q.copy(),
             inv_mass=inv_mass, inertia0=inertia0,
-            ext_force=zeros3, ext_torque=zeros3,
+            ext_force=jnp.zeros_like(x), ext_torque=jnp.zeros_like(x),
         )
 
     @property
