@@ -61,6 +61,12 @@ class RigidCollider:
     # updateInverseTransformation bookkeeping, RigidBody.h:172-188)
     frame_rot: Array = None      # (3, 3)
     frame_t: Array = None        # (3,)
+    # broad-phase bounding radii about the body origin (static floats;
+    # inf disables pruning for this collider)
+    verts_radius: float = field(default=float("inf"),
+                                metadata=dict(static=True))
+    shape_radius: float = field(default=float("inf"),
+                                metadata=dict(static=True))
 
 
 @_register
@@ -218,22 +224,46 @@ class CollisionPipeline:
         for (ia, ib) in self.rb_pairs:
             ca = self.rigid_colliders[ia]
             cb = self.rigid_colliders[ib]
-            ra = quat.to_matrix(rq[ca.body])
-            verts_w = ca.verts @ ra.T + rx[ca.body]
-            xl = self._world_to_local(cb, rx, rq, verts_w)
-            dist = cb.shape.distance(xl) - self.tolerance
-            nl = cb.shape.normal(xl)
-            n = self._local_to_world_dir(cb, rq, nl)
-            mask = (dist < 0.0) & (jnp.sum(n * n, -1) > 0.5)
-            cp0 = verts_w
-            cp1 = verts_w - dist[:, None] * n
-            rest = ca.restitution * cb.restitution
-            fric = ca.friction + cb.friction
-            k = verts_w.shape[0]
-            rows.append(self._init_rb_contact(
-                ca.body, cb.body, cp0, cp1, n, mask,
-                jnp.broadcast_to(rest, (k,)), jnp.broadcast_to(fric, (k,)),
-                rx, rv, rom, inv_mass, inv_iw))
+            k = ca.verts.shape[0]
+
+            def narrow(ca=ca, cb=cb, k=k):
+                ra = quat.to_matrix(rq[ca.body])
+                verts_w = ca.verts @ ra.T + rx[ca.body]
+                xl = self._world_to_local(cb, rx, rq, verts_w)
+                dist = cb.shape.distance(xl) - self.tolerance
+                nl = cb.shape.normal(xl)
+                n = self._local_to_world_dir(cb, rq, nl)
+                mask = (dist < 0.0) & (jnp.sum(n * n, -1) > 0.5)
+                cp0 = verts_w
+                cp1 = verts_w - dist[:, None] * n
+                rest = ca.restitution * cb.restitution
+                fric = ca.friction + cb.friction
+                return self._init_rb_contact(
+                    ca.body, cb.body, cp0, cp1, n, mask,
+                    jnp.broadcast_to(rest, (k,)),
+                    jnp.broadcast_to(fric, (k,)),
+                    rx, rv, rom, inv_mass, inv_iw)
+
+            reach = ca.verts_radius + cb.shape_radius + self.tolerance
+            if np.isfinite(reach):
+                # broad phase: bounding-sphere reject as real control
+                # flow (the reference's AABB/BVH pruning analogue,
+                # CollisionDetection.h:32-44) — the narrow phase of a
+                # separated pair never executes
+                def empty(ca=ca, cb=cb, k=k):
+                    z3 = jnp.zeros((k, 3), jnp.float32)
+                    z = jnp.zeros((k,), jnp.float32)
+                    return RigidContacts(
+                        body0=jnp.full((k,), ca.body, jnp.int32),
+                        body1=jnp.full((k,), cb.body, jnp.int32),
+                        cp0=z3, cp1=z3, normal=z3, tangent=z3,
+                        nkn_inv=z, p_max=z, goal_u_n=z,
+                        restitution=z, friction=z, mask=z)
+
+                d = jnp.linalg.norm(rx[ca.body] - rx[cb.body])
+                rows.append(jax.lax.cond(d < reach, narrow, empty))
+            else:
+                rows.append(narrow())
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *rows)
 
     def _init_rb_contact(self, b0, b1, cp0, cp1, n, mask, rest, fric,

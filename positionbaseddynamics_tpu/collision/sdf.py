@@ -197,6 +197,43 @@ class SDFShape:
         return jnp.where(n2 < 1e-12, 0.0, g / jnp.sqrt(jnp.maximum(n2, 1e-30)))
 
 
+def shape_bounding_radius(shape: SDFShape) -> float:
+    """Conservative bounding-sphere radius of a shape about its local
+    origin — the broad-phase reject radius (the reference's AABB/BVH
+    pruning analogue, ``CollisionDetection.h:32-44``). Inverted (hollow
+    world) shapes are unbounded; returns ``inf`` so they are never
+    pruned."""
+    import numpy as np
+
+    if float(shape.invert) < 0:
+        return float("inf")
+    p = np.asarray(shape.params, np.float64)
+    k = shape.kind
+    if k == SPHERE:
+        return float(p[0])
+    if k == BOX:
+        return float(np.linalg.norm(p[:3]))
+    if k == TORUS:
+        return float(p[0] + p[1])
+    if k == CYLINDER:
+        return float(np.hypot(p[0], p[1]))
+    if k == HOLLOW_SPHERE:
+        return float(p[0] + p[1])
+    if k == HOLLOW_BOX:
+        return float(np.linalg.norm(p[:3]) + p[3])
+    if k == PLANE:
+        return float("inf")
+    if k == GRID:
+        o = np.asarray(shape.grid_origin, np.float64)
+        ext = (np.asarray(shape.grid_values.shape, np.float64) - 1.0) \
+            / np.asarray(shape.grid_inv_cell, np.float64)
+        corners = o[None] + ext[None] * np.stack(
+            np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+            -1).reshape(-1, 3)
+        return float(np.linalg.norm(corners, axis=1).max())
+    return float("inf")
+
+
 def _shape(kind, params, invert) -> SDFShape:
     return SDFShape(
         kind=kind,

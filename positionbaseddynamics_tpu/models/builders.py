@@ -629,8 +629,21 @@ class SceneBuilder:
             sel = np.linspace(0, len(v) - 1, max_collider_verts).astype(int)
             return v[sel]
 
-        rcs = tuple(
-            RigidCollider(
+        from ..collision.sdf import shape_bounding_radius
+
+        def _radii(c):
+            vr = (float(np.linalg.norm(c["verts"], axis=1).max())
+                  if c["verts"] is not None and len(c["verts"])
+                  else float("inf"))
+            sr = shape_bounding_radius(c["shape"])
+            if c.get("frame_t") is not None and np.isfinite(sr):
+                sr += float(np.linalg.norm(c["frame_t"]))
+            return vr, sr
+
+        rcs = []
+        for c in self._rb_colliders:
+            vr, sr = _radii(c)
+            rcs.append(RigidCollider(
                 body=c["body"], shape=c["shape"],
                 verts=(None if c["verts"] is None
                        else jnp.asarray(_sub(c["verts"]))),
@@ -639,8 +652,9 @@ class SceneBuilder:
                 frame_t=(None if c.get("frame_t") is None
                          else jnp.asarray(c["frame_t"])),
                 restitution=jnp.float32(c["restitution"]),
-                friction=jnp.float32(c["friction"]))
-            for c in self._rb_colliders)
+                friction=jnp.float32(c["friction"]),
+                verts_radius=vr, shape_radius=sr))
+        rcs = tuple(rcs)
         # ordered (point side i, sdf side j) candidate pairs; skip pairs of
         # two static bodies — no contact response is possible
         dyn = [self._rb_mass[c["body"]] != 0.0 for c in self._rb_colliders]

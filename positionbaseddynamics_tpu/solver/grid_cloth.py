@@ -159,13 +159,25 @@ class GridClothBatch:
         rest, stiff = {}, {}
         cnt_d = np.zeros((h * w,), np.float64)
         has_distance = distance_stiffness is not None
+
+        def _collapse(a, shape):
+            """Uniform per-constraint data collapses to a broadcastable
+            scalar/sub-array — on a uniform grid every stencil of a
+            family is congruent, so rest lengths and Q matrices are
+            identical across the family grid. This removes the dominant
+            HBM stream of the bending pass (the (Fh, Fw, 4, 4) Q read,
+            ~19 MB/substep at 320x320 — docs/PERF.md)."""
+            flat = a.reshape(-1, *a.shape[len(shape):])
+            if np.allclose(flat, flat[0], rtol=1e-6, atol=1e-7):
+                return jnp.asarray(flat[0], jnp.float32)
+            return jnp.asarray(a, jnp.float32)
+
         if has_distance:
             for fam in _DIST_FAMILIES:
                 ai, bi = edges[fam]
                 r = np.linalg.norm(blk[ai] - blk[bi], axis=-1)
-                rest[fam] = jnp.asarray(r, jnp.float32)
-                stiff[fam] = jnp.asarray(
-                    np.broadcast_to(np.float32(distance_stiffness), r.shape))
+                rest[fam] = _collapse(r, r.shape)
+                stiff[fam] = jnp.float32(distance_stiffness)
                 np.add.at(cnt_d, ai.ravel(), 1.0)
                 np.add.at(cnt_d, bi.ravel(), 1.0)
 
@@ -177,10 +189,9 @@ class GridClothBatch:
                 sten = np.stack([f0, f1, a, b], axis=-1)       # (Fh, Fw, 4)
                 pts = blk[sten.reshape(-1, 4)]                 # (F, 4, 3)
                 q = _init_isometric_bending_np(pts)
-                q_mat[fam] = jnp.asarray(
-                    q.reshape(sten.shape[:2] + (4, 4)), jnp.float32)
-                bstiff[fam] = jnp.asarray(np.broadcast_to(
-                    np.float32(bending_stiffness), sten.shape[:2]))
+                q_mat[fam] = _collapse(
+                    q.reshape(sten.shape[:2] + (4, 4)), sten.shape[:2])
+                bstiff[fam] = jnp.float32(bending_stiffness)
                 np.add.at(cnt_b, sten.reshape(-1), 1.0)
 
         return GridClothBatch(
@@ -196,10 +207,16 @@ class GridClothBatch:
             has_bending=has_bending,
         )
 
+    def _family_shape(self, fam):
+        h, w = self.height, self.width
+        return {"h": (h, w - 1), "v": (h - 1, w), "d": (h - 1, w - 1),
+                "bh": (h - 2, w - 1), "bv": (h - 1, w - 2),
+                "bd": (h - 1, w - 1)}[fam]
+
     def init_lambda(self):
-        z = {f: jnp.zeros(self.rest[f].shape, jnp.float32)
+        z = {f: jnp.zeros(self._family_shape(f), jnp.float32)
              for f in self.rest}
-        zb = {f: jnp.zeros(self.bend_stiff[f].shape, jnp.float32)
+        zb = {f: jnp.zeros(self._family_shape(f), jnp.float32)
               for f in self.q_mat}
         return (z, zb)
 

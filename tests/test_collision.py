@@ -173,3 +173,28 @@ def test_sampling_points_on_surface():
     np.testing.assert_allclose(np.linalg.norm(s, axis=1), 1.5, atol=1e-5)
     bx = sampling.sample_box((1.0, 2.0, 0.5))
     assert (np.abs(np.abs(bx / [1.0, 2.0, 0.5]).max(axis=1) - 1.0) < 1e-6).all()
+
+
+def test_broadphase_prunes_distant_pairs_equivalently():
+    """Bounding-sphere broad phase (lax.cond per pair): distant pairs
+    produce zero-mask contact rows, and trajectories are unchanged
+    relative to contact physics (the pruned pair can't collide)."""
+    b = SceneBuilder()
+    a = b.add_rigid_body((0.0, 5.0, 0.0), mass=1.0, inertia=(0.4,) * 3)
+    c = b.add_rigid_body((100.0, 5.0, 0.0), mass=1.0, inertia=(0.4,) * 3)
+    b.add_collision_sphere(a, 0.5)
+    b.add_collision_sphere(c, 0.5)
+    state, cset = b.build()
+    pipe = b.build_collision_pipeline()
+    # radii recorded and finite -> pruning active
+    for rc in pipe.rigid_colliders:
+        assert np.isfinite(rc.verts_radius)
+        assert np.isfinite(rc.shape_radius)
+    contacts = pipe.detect_rigid(state.rigid)
+    assert float(np.asarray(contacts.mask).sum()) == 0.0
+    fn = make_step_fn(cset, StepConfig(), pipe)
+    s = fn(state)
+    x = np.asarray(s.rigid.x)
+    assert np.isfinite(x).all()
+    # both bodies free-fall identically
+    np.testing.assert_allclose(x[0, 1], x[1, 1], atol=1e-6)

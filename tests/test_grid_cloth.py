@@ -49,8 +49,8 @@ def test_grid_constraint_counts():
     _, s_cset = _build(n, True)
     _, u_cset = _build(n, False)
     gc = s_cset.grid_cloths[0]
-    n_dist = sum(int(np.prod(gc.rest[f].shape)) for f in gc.rest)
-    n_bend = sum(int(np.prod(gc.bend_stiff[f].shape)) for f in gc.q_mat)
+    n_dist = sum(int(np.prod(gc._family_shape(f))) for f in gc.rest)
+    n_bend = sum(int(np.prod(gc._family_shape(f))) for f in gc.q_mat)
     assert n_dist == u_cset.distance.idx.shape[0]
     assert n_bend == u_cset.isometric_bending.idx.shape[0]
 
