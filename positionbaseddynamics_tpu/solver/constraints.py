@@ -96,6 +96,33 @@ def _init_isometric_bending_np(p: np.ndarray) -> np.ndarray:
     return (coef[:, None, None] * np.einsum("ci,cj->cij", k, k)).astype(np.float32)
 
 
+def _init_isometric_bending_s_np(p: np.ndarray) -> np.ndarray:
+    """Rank-1 factor of the isometric-bending Hessian: the reference's
+    ``Q(j,k) = coef·K[j]·K[k]`` (``XPBD.cpp:136-148``) is exactly
+    ``Q = −S Sᵀ`` with ``S = K·√(−coef)`` (coef < 0 since triangle areas
+    are positive). Storing S instead of Q quarters the memory stream and
+    turns the 4×4 stencil contraction into one dot: ``C = −½‖Σⱼ Sⱼxⱼ‖²``.
+    ``p (C, 4, 3)`` in stencil order; returns ``S (C, 4)`` in the kernel's
+    internal (p2, p3, p0, p1) index order, matching the Q variant."""
+    p = np.asarray(p, np.float64)
+    x0, x1, x2, x3 = p[:, 2], p[:, 3], p[:, 0], p[:, 1]
+    e0, e1, e2 = x1 - x0, x2 - x0, x3 - x0
+    e3, e4 = x2 - x1, x3 - x1
+
+    def cot(v, w):
+        cos_t = np.einsum("cd,cd->c", v, w)
+        sin_t = np.linalg.norm(np.cross(v, w), axis=-1)
+        return cos_t / np.maximum(sin_t, 1e-12)
+
+    c01, c02 = cot(e0, e1), cot(e0, e2)
+    c03, c04 = cot(-e0, e3), cot(-e0, e4)
+    a0 = 0.5 * np.linalg.norm(np.cross(e0, e1), axis=-1)
+    a1 = 0.5 * np.linalg.norm(np.cross(e0, e2), axis=-1)
+    coef = 3.0 / (2.0 * (a0 + a1))
+    k = np.stack([c03 + c04, c01 + c02, -c01 - c03, -c02 - c04], axis=1)
+    return (np.sqrt(coef)[:, None] * k).astype(np.float32)
+
+
 def _init_fem_triangle_np(p: np.ndarray):
     """Host-side batched init for FEM triangles — 2D rest-edge matrix in an
     in-plane orthonormal basis (axis1 = normalized p1−p0, axis2 = n×axis1)

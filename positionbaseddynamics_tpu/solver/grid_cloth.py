@@ -127,10 +127,11 @@ class GridClothBatch:
     grid cloth. All per-constraint data lives in family-grid-shaped arrays;
     the device never sees an index."""
 
-    rest: dict          # family -> rest length (Fh, Fw) for distance fams
-    stiff: dict         # family -> stiffness (Fh, Fw) distance fams
-    q_mat: dict         # family -> (Fh, Fw, 4, 4) bending Q matrices
-    bend_stiff: dict    # family -> (Fh, Fw)
+    rest: dict          # family -> rest length, (Fh, Fw) or scalar
+    stiff: dict         # family -> stiffness scalar (distance fams)
+    q_mat: dict         # family -> rank-1 bending factor S (Fh, Fw, 4)
+    #                     with Q = −S Sᵀ (see _init_isometric_bending_s_np)
+    bend_stiff: dict    # family -> stiffness scalar
     inv_cnt_dist: Array     # (H, W) 1/#distance constraints per particle
     inv_cnt_bend: Array     # (H, W) 1/#bending stencils per particle
     height: int = field(metadata=dict(static=True))
@@ -151,7 +152,7 @@ class GridClothBatch:
         """``x0`` is the FULL scene rest-position array (N, 3); the cloth
         occupies rows ``offset : offset + H*W`` in row-major (i*W + j)
         order. ``bending_stiffness=None`` disables the bending families."""
-        from .constraints import _init_isometric_bending_np
+        from .constraints import _init_isometric_bending_s_np
 
         h, w = height, width
         blk = np.asarray(x0, np.float64)[offset:offset + h * w]
@@ -188,9 +189,9 @@ class GridClothBatch:
             for fam, (f0, f1, a, b) in _bend_stencils_np(h, w).items():
                 sten = np.stack([f0, f1, a, b], axis=-1)       # (Fh, Fw, 4)
                 pts = blk[sten.reshape(-1, 4)]                 # (F, 4, 3)
-                q = _init_isometric_bending_np(pts)
+                s_vec = _init_isometric_bending_s_np(pts)      # rank-1 factor
                 q_mat[fam] = _collapse(
-                    q.reshape(sten.shape[:2] + (4, 4)), sten.shape[:2])
+                    s_vec.reshape(sten.shape[:2] + (4,)), sten.shape[:2])
                 bstiff[fam] = jnp.float32(bending_stiffness)
                 np.add.at(cnt_b, sten.reshape(-1), 1.0)
 
@@ -336,24 +337,19 @@ class GridClothBatch:
         for fam in self.q_mat:
             xs, scatter = self._bend_points(g, fam, hp)
             ws4, _ = self._bend_points(wg, fam, hp)           # 4× (Fh, Fw, 1)
-            q = self.q_mat[fam]
-            # grad_j = Σ_k Q_jk x_k, unrolled over the 4×4 stencil so every
-            # op is a full (Fh, Fw, 3) VPU vector op — a (…, 4, 4)×(…, 4, 3)
-            # einsum compiles to a tiny-batched MXU matmul ~100× off
-            # speed-of-light on TPU (measured: 24 ms → sub-ms for the pass).
-            grad = []
-            for j in range(4):
-                gj = q[..., j, 0, None] * xs[0]
-                for k in range(1, 4):
-                    gj = gj + q[..., j, k, None] * xs[k]
-                grad.append(gj)
-            energy = 0.0
-            sum_norm = 0.0
-            for j in range(4):
-                energy = energy + jnp.sum(grad[j] * xs[j], -1)
-                sum_norm = sum_norm + ws4[j][..., 0] * jnp.sum(
-                    grad[j] * grad[j], -1)
-            energy = 0.5 * energy
+            s = self.q_mat[fam]                               # rank-1 factor
+            sj = [s[..., j, None] for j in range(4)]          # (…, 1)
+            # Q = −S Sᵀ (XPBD.cpp:136-148 is exactly rank 1), so the 4×4
+            # contraction collapses to one weighted stencil sum:
+            # t = Σⱼ Sⱼ xⱼ;  C = −½|t|²;  ∇ⱼC = −Sⱼ t
+            t = sj[0] * xs[0]
+            for j in range(1, 4):
+                t = t + sj[j] * xs[j]
+            t2 = jnp.sum(t * t, -1)
+            energy = -0.5 * t2
+            w_s2 = sum(ws4[j][..., 0] * s[..., j] * s[..., j]
+                       for j in range(4))
+            sum_norm = w_s2 * t2
             if self.xpbd_bending:
                 stiffk = self.bend_stiff[fam]
                 alpha = jnp.where(stiffk != 0.0, 1.0 / (stiffk * dt * dt), 0.0)
@@ -367,7 +363,8 @@ class GridClothBatch:
                 dlam = jnp.where(valid, -self.bend_stiff[fam] * energy
                                  / jnp.where(valid, sum_norm, 1.0), 0.0)
                 new_lams[fam] = lams[fam]
-            corr = [dlam[..., None] * ws4[j] * grad[j] for j in range(4)]
+            dt_plane = dlam[..., None] * t
+            corr = [-ws4[j] * sj[j] * dt_plane for j in range(4)]
             acc = scatter(acc, corr)
         return g + omega * self.inv_cnt_bend * acc, new_lams
 

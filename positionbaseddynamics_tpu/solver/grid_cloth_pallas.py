@@ -1,0 +1,311 @@
+"""Fused Pallas TPU kernel for structured-grid XPBD cloth.
+
+SURVEY §7 step 12: one kernel launch per *sim step* that keeps the whole
+cloth state resident in VMEM across all substeps — integrate → XPBD
+distance families → XPBD isometric-bending families → velocity update,
+looped ``substeps`` times, with one HBM read of (x, v) at entry and one
+write at exit. The jnp/XLA path (``solver/grid_cloth.py``) re-reads the
+state arrays from HBM for every one of the ~30 fused elementwise passes
+per substep; here total HBM traffic per step is ~5 MB instead of
+~100+ MB, and all intermediate grids live in VMEM.
+
+Layout: positions/velocities are stored as separate (H, W) component
+planes — a trailing dim of 3 would put 3 elements in the 128-wide lane
+dimension and waste 42× of every tile. Parameters are the *uniform*
+collapsed scalars of :class:`~.grid_cloth.GridClothBatch` (regular grids
+only — the bench/north-star scene).
+
+Semantics are identical to ``GridClothBatch.project`` + the substep loop
+of ``solver/step.py`` (asserted in ``tests/test_grid_cloth_pallas.py``):
+XPBD λ per family, reset each substep, Jacobi averaging with the
+build-time count denominators.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid_cloth import GridClothBatch, _helper_grid
+
+
+def _family_rest(batch, fam):
+    r = batch.rest[fam]
+    if r.ndim != 0:
+        raise NotImplementedError(
+            "pallas cloth kernel requires uniform rest lengths "
+            "(regular grid)")
+    return float(r)
+
+
+def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
+                           inv_cnt_bend, *, dt: float, substeps: int,
+                           max_iterations: int = 1,
+                           gravity=(0.0, -9.81, 0.0),
+                           damping: float = 0.0):
+    """Build ``step(x (N, 3), v (N, 3)) -> (x, v)`` as one fused Pallas
+    kernel. Requires a uniform-parameter grid batch covering particles
+    ``[offset, offset + H*W)`` with ``offset == 0`` and the full particle
+    array (the headline bench scene shape)."""
+    h_grid, w_grid = batch.height, batch.width
+    if batch.offset != 0:
+        raise NotImplementedError("pallas cloth kernel expects offset 0")
+    if not (batch.has_distance and batch.has_bending):
+        raise NotImplementedError("expects distance + bending families")
+    if not (batch.xpbd_distance and batch.xpbd_bending):
+        raise NotImplementedError("XPBD families only")
+
+    rest_h = _family_rest(batch, "h")
+    rest_v = _family_rest(batch, "v")
+    rest_d = _family_rest(batch, "d")
+    stiff_d = {f: float(batch.stiff[f]) for f in ("h", "v", "d")}
+    # rank-1 bending factors: (Fh, Fw, 4) planes per family (or uniform
+    # (4,) broadcast); split into 4 (Fh, Fw) planes for lane-friendly VMEM
+    svecs = {}
+    for f in ("bh", "bv", "bd"):
+        s = np.asarray(batch.q_mat[f], np.float32)
+        if s.ndim == 1:
+            fh, fw = {"bh": (h_grid - 2, w_grid - 1),
+                      "bv": (h_grid - 1, w_grid - 2),
+                      "bd": (h_grid - 1, w_grid - 1)}[f]
+            s = np.broadcast_to(s, (fh, fw, 4))
+        svecs[f] = [jnp.asarray(s[..., j]) for j in range(4)]
+    bstiff = {f: float(batch.bend_stiff[f]) for f in ("bh", "bv", "bd")}
+
+    h_sub = dt / substeps
+    inv_h = 1.0 / h_sub
+    inv_dt2 = 1.0 / (h_sub * h_sub)
+    alpha_d = {f: (1.0 / (stiff_d[f] * h_sub * h_sub)
+                   if stiff_d[f] != 0.0 else 0.0) for f in stiff_d}
+    alpha_b = {f: (1.0 / (bstiff[f] * h_sub * h_sub)
+                   if bstiff[f] != 0.0 else 0.0) for f in bstiff}
+    gx, gy, gz = (float(g) for g in gravity)
+
+    # parity grid — passed into the kernel as a plane input (Pallas
+    # forbids closed-over array constants)
+    hp_host = jnp.asarray(_helper_grid(h_grid, w_grid), jnp.float32)
+
+    def distance_family(xc, w, lam, fam, hp):
+        """One distance family pass on component planes ``xc = (x, y, z)``.
+        Returns (acc planes contribution closure applied, new λ)."""
+        if fam == "h":
+            sa = lambda p: p[:, :-1]
+            sb = lambda p: p[:, 1:]
+            rest, alpha = rest_h, alpha_d["h"]
+        elif fam == "v":
+            sa = lambda p: p[:-1, :]
+            sb = lambda p: p[1:, :]
+            rest, alpha = rest_v, alpha_d["v"]
+        else:
+            sa = lambda p: hp * p[:-1, :-1] + (1.0 - hp) * p[:-1, 1:]
+            sb = lambda p: hp * p[1:, 1:] + (1.0 - hp) * p[1:, :-1]
+            rest, alpha = rest_d, alpha_d["d"]
+        nx = sa(xc[0]) - sb(xc[0])
+        ny = sa(xc[1]) - sb(xc[1])
+        nz = sa(xc[2]) - sb(xc[2])
+        d2 = nx * nx + ny * ny + nz * nz
+        d = jnp.sqrt(d2)
+        wa = sa(w)
+        wb = sb(w)
+        c = d - rest
+        k = wa + wb + alpha
+        valid = (d > 1e-6) & (jnp.abs(k) > 1e-6)
+        dlam = jnp.where(valid, -(c + alpha * lam) / k, 0.0)
+        new_lam = lam + dlam
+        s = dlam / jnp.maximum(d, 1e-6)
+        px_ = nx * s
+        py_ = ny * s
+        pz_ = nz * s
+        return (sa, sb, wa, wb, (px_, py_, pz_)), new_lam
+
+    def scatter_distance(accs, fam, parts, hp):
+        sa, sb, wa, wb, (px_, py_, pz_) = parts
+        out = []
+        for acc, pc in zip(accs, (px_, py_, pz_)):
+            ca = wa * pc
+            cb = -wb * pc
+            if fam == "h":
+                acc = acc.at[:, :-1].add(ca).at[:, 1:].add(cb)
+            elif fam == "v":
+                acc = acc.at[:-1, :].add(ca).at[1:, :].add(cb)
+            else:
+                acc = acc.at[:-1, :-1].add(ca * hp)
+                acc = acc.at[:-1, 1:].add(ca * (1.0 - hp))
+                acc = acc.at[1:, 1:].add(cb * hp)
+                acc = acc.at[1:, :-1].add(cb * (1.0 - hp))
+            out.append(acc)
+        return out
+
+    def bend_points(p, fam, hp):
+        """Gather the 4 stencil point planes [a, b, f0, f1] and return
+        them with a scatter closure — mirror of
+        ``GridClothBatch._bend_points`` on one component plane."""
+        if fam == "bh":
+            par = hp[1:, :]
+            a, b = p[1:-1, :-1], p[1:-1, 1:]
+            f0 = par * p[2:, 1:] + (1.0 - par) * p[2:, :-1]
+            f1 = par * p[:-2, 1:] + (1.0 - par) * p[:-2, :-1]
+
+            def scatter(acc, ca, cb, c0, c1):
+                acc = acc.at[1:-1, :-1].add(ca).at[1:-1, 1:].add(cb)
+                acc = acc.at[2:, 1:].add(c0 * par).at[2:, :-1].add(
+                    c0 * (1 - par))
+                return acc.at[:-2, 1:].add(c1 * par).at[:-2, :-1].add(
+                    c1 * (1 - par))
+        elif fam == "bv":
+            par = hp[:, 1:]
+            a, b = p[:-1, 1:-1], p[1:, 1:-1]
+            f0 = par * p[1:, 2:] + (1.0 - par) * p[:-1, 2:]
+            f1 = par * p[1:, :-2] + (1.0 - par) * p[:-1, :-2]
+
+            def scatter(acc, ca, cb, c0, c1):
+                acc = acc.at[:-1, 1:-1].add(ca).at[1:, 1:-1].add(cb)
+                acc = acc.at[1:, 2:].add(c0 * par).at[:-1, 2:].add(
+                    c0 * (1 - par))
+                return acc.at[1:, :-2].add(c1 * par).at[:-1, :-2].add(
+                    c1 * (1 - par))
+        else:
+            par = hp
+            a = par * p[:-1, :-1] + (1.0 - par) * p[:-1, 1:]
+            b = par * p[1:, 1:] + (1.0 - par) * p[1:, :-1]
+            f0 = par * p[:-1, 1:] + (1.0 - par) * p[:-1, :-1]
+            f1 = par * p[1:, :-1] + (1.0 - par) * p[1:, 1:]
+
+            def scatter(acc, ca, cb, c0, c1):
+                acc = acc.at[:-1, :-1].add(ca * par).at[:-1, 1:].add(
+                    ca * (1 - par))
+                acc = acc.at[1:, 1:].add(cb * par).at[1:, :-1].add(
+                    cb * (1 - par))
+                acc = acc.at[:-1, 1:].add(c0 * par).at[:-1, :-1].add(
+                    c0 * (1 - par))
+                return acc.at[1:, :-1].add(c1 * par).at[1:, 1:].add(
+                    c1 * (1 - par))
+        return (a, b, f0, f1), scatter
+
+    def bending_family(xc, w, lam, fam, sv, hp):
+        """Rank-1 bending: t = Σⱼ Sⱼ xⱼ (per component), C = −½|t|²,
+        ∇ⱼ = −Sⱼ t. Stencil gathers per component plane; internal point
+        order [a, b, f0, f1] matches the S index order."""
+        comps = []
+        scatter = None
+        for p in xc:
+            pts, scatter = bend_points(p, fam, hp)
+            comps.append(pts)
+        ws4, _ = bend_points(w, fam, hp)
+        t = [sv[0] * comps[ci][0] + sv[1] * comps[ci][1]
+             + sv[2] * comps[ci][2] + sv[3] * comps[ci][3]
+             for ci in range(3)]
+        t2 = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
+        energy = -0.5 * t2
+        w_s2 = (ws4[0] * sv[0] * sv[0] + ws4[1] * sv[1] * sv[1]
+                + ws4[2] * sv[2] * sv[2] + ws4[3] * sv[3] * sv[3])
+        sum_norm = w_s2 * t2
+        alpha = alpha_b[fam]
+        kk_ = sum_norm + alpha
+        valid = jnp.abs(kk_) > 1e-9
+        dlam = jnp.where(valid, -(energy + alpha * lam)
+                         / jnp.where(valid, kk_, 1.0), 0.0)
+        new_lam = lam + dlam
+        return (ws4, sv, t, scatter, dlam), new_lam
+
+    def scatter_bending(accs, parts):
+        ws4, sv, t, scatter, dlam = parts
+        out = []
+        for ci, acc in enumerate(accs):
+            corr = [-dlam * ws4[j] * sv[j] * t[ci] for j in range(4)]
+            out.append(scatter(acc, corr[0], corr[1], corr[2], corr[3]))
+        return out
+
+    lam_shapes = {
+        "h": (h_grid, w_grid - 1), "v": (h_grid - 1, w_grid),
+        "d": (h_grid - 1, w_grid - 1),
+        "bh": (h_grid - 2, w_grid - 1), "bv": (h_grid - 1, w_grid - 2),
+        "bd": (h_grid - 1, w_grid - 1),
+    }
+
+    def kernel(xx_ref, xy_ref, xz_ref, vx_ref, vy_ref, vz_ref, w_ref,
+               icd_ref, icb_ref, hp_ref, *rest_refs):
+        s_refs = rest_refs[:12]
+        (oxx_ref, oxy_ref, oxz_ref, ovx_ref, ovy_ref,
+         ovz_ref) = rest_refs[12:]
+        hp = hp_ref[:]
+        sv_all = {
+            "bh": [s_refs[j][:] for j in range(4)],
+            "bv": [s_refs[4 + j][:] for j in range(4)],
+            "bd": [s_refs[8 + j][:] for j in range(4)],
+        }
+        xc = [xx_ref[:], xy_ref[:], xz_ref[:]]
+        vc = [vx_ref[:], vy_ref[:], vz_ref[:]]
+        w = w_ref[:]
+        icd = icd_ref[:]
+        icb = icb_ref[:]
+        dyn = (w > 0.0).astype(jnp.float32)
+        gvec = (gx, gy, gz)
+
+        for _ in range(substeps):
+            old = list(xc)
+            # semi-implicit Euler (gravity only), static particles frozen
+            vc = [jnp.where(w > 0.0, vci + h_sub * gci, vci)
+                  for vci, gci in zip(vc, gvec)]
+            xc = [xci + h_sub * dyn * vci for xci, vci in zip(xc, vc)]
+
+            lams = {f: jnp.zeros(lam_shapes[f], jnp.float32)
+                    for f in lam_shapes}
+            for _ in range(max_iterations):
+                accs = [jnp.zeros_like(xc[0]) for _ in range(3)]
+                for fam in ("h", "v", "d"):
+                    parts, lams[fam] = distance_family(
+                        xc, w, lams[fam], fam, hp)
+                    accs = scatter_distance(accs, fam, parts, hp)
+                xc = [xci + icd * acc for xci, acc in zip(xc, accs)]
+
+                accs = [jnp.zeros_like(xc[0]) for _ in range(3)]
+                for fam in ("bh", "bv", "bd"):
+                    parts, lams[fam] = bending_family(
+                        xc, w, lams[fam], fam, sv_all[fam], hp)
+                    accs = scatter_bending(accs, parts)
+                xc = [xci + icb * acc for xci, acc in zip(xc, accs)]
+
+            vc = [jnp.where(w > 0.0, (xci - oldi) * inv_h, vci)
+                  for xci, oldi, vci in zip(xc, old, vc)]
+            if damping:
+                vc = [vci * (1.0 - damping) for vci in vc]
+
+        oxx_ref[:], oxy_ref[:], oxz_ref[:] = xc
+        ovx_ref[:], ovy_ref[:], ovz_ref[:] = vc
+
+    plane = jax.ShapeDtypeStruct((h_grid, w_grid), jnp.float32)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    s_args = svecs["bh"] + svecs["bv"] + svecs["bd"]
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(plane,) * 6,
+        in_specs=[vmem] * (10 + len(s_args)),
+        out_specs=(vmem,) * 6,
+        interpret=interpret,
+    )
+
+    w_plane = jnp.asarray(inv_mass, jnp.float32).reshape(h_grid, w_grid)
+    icd_plane = jnp.asarray(inv_cnt_dist, jnp.float32).reshape(h_grid,
+                                                               w_grid)
+    icb_plane = jnp.asarray(inv_cnt_bend, jnp.float32).reshape(h_grid,
+                                                               w_grid)
+
+    @jax.jit
+    def step(x, v):
+        xp = x.reshape(h_grid, w_grid, 3)
+        vp = v.reshape(h_grid, w_grid, 3)
+        outs = call(xp[..., 0], xp[..., 1], xp[..., 2],
+                    vp[..., 0], vp[..., 1], vp[..., 2],
+                    w_plane, icd_plane, icb_plane, hp_host, *s_args)
+        x_out = jnp.stack(outs[0:3], axis=-1).reshape(-1, 3)
+        v_out = jnp.stack(outs[3:6], axis=-1).reshape(-1, 3)
+        return x_out, v_out
+
+    return step

@@ -56,3 +56,13 @@ def test_overflow_matches_candidate_truncation():
     d = np.linalg.norm(xx[:, None] - xx[None], axis=-1)
     true = ((d < radius) & (d > 0)).sum()
     assert got == true
+
+
+def test_logger_sinks():
+    from positionbaseddynamics_tpu.utils import log
+    buf = log.add_buffer_sink()
+    log.log_info("hello %s", "world")
+    log.log_warn("careful")
+    assert any("hello world" in m for m in buf.messages)
+    assert any("careful" in m for m in buf.messages)
+    log.logger.removeHandler(buf)
