@@ -16,6 +16,6 @@ SDF collision detection), re-designed for TPU hardware:
   sampling-MPC layer (``mpc/``) on top of the rollout harness.
 """
 
-from . import ops, solver, models
+from . import collision, fluids, models, mpc, ops, parallel, scene, solver, utils
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -247,7 +247,8 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         dyn = (w > 0.0).astype(jnp.float32)
         gvec = (gx, gy, gz)
 
-        for _ in range(substeps):
+        def substep_body(_, carry):
+            xc, vc = list(carry[0]), list(carry[1])
             old = list(xc)
             # semi-implicit Euler (gravity only), static particles frozen
             vc = [jnp.where(w > 0.0, vci + h_sub * gci, vci)
@@ -256,15 +257,15 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
 
             lams = {f: jnp.zeros(lam_shapes[f], jnp.float32)
                     for f in lam_shapes}
-            for _ in range(max_iterations):
-                accs = [jnp.zeros_like(xc[0]) for _ in range(3)]
+            for _i in range(max_iterations):
+                accs = [jnp.zeros_like(xc[0]) for _j in range(3)]
                 for fam in ("h", "v", "d"):
                     parts, lams[fam] = distance_family(
                         xc, w, lams[fam], fam, hp)
                     accs = scatter_distance(accs, fam, parts, hp)
                 xc = [xci + icd * acc for xci, acc in zip(xc, accs)]
 
-                accs = [jnp.zeros_like(xc[0]) for _ in range(3)]
+                accs = [jnp.zeros_like(xc[0]) for _j in range(3)]
                 for fam in ("bh", "bv", "bd"):
                     parts, lams[fam] = bending_family(
                         xc, w, lams[fam], fam, sv_all[fam], hp)
@@ -275,6 +276,12 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
                   for xci, oldi, vci in zip(xc, old, vc)]
             if damping:
                 vc = [vci * (1.0 - damping) for vci in vc]
+            return (tuple(xc), tuple(vc))
+
+        # fori_loop keeps the Mosaic program one substep long (a static
+        # 5x unroll blew compile time through the roof)
+        xc, vc = jax.lax.fori_loop(0, substeps, substep_body,
+                                   (tuple(xc), tuple(vc)))
 
         oxx_ref[:], oxy_ref[:], oxz_ref[:] = xc
         ovx_ref[:], ovy_ref[:], ovz_ref[:] = vc
