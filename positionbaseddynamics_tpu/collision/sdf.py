@@ -34,6 +34,7 @@ CYLINDER = "cylinder"
 HOLLOW_SPHERE = "hollow_sphere"
 HOLLOW_BOX = "hollow_box"
 GRID = "grid"
+GRID_CUBIC = "grid_cubic"
 PLANE = "plane"
 
 
@@ -144,13 +145,20 @@ class SDFShape:
         return _shape(PLANE, list(n) + [offset], invert)
 
     @staticmethod
-    def grid(values, origin, extent, invert=False) -> "SDFShape":
+    def grid(values, origin, extent, invert=False, order=1) -> "SDFShape":
+        """Dense-grid SDF. ``order=1`` → trilinear; ``order=3`` → separable
+        cubic Lagrange on a 4×4×4 stencil, the TPU-native stand-in for the
+        reference's ``CubicLagrangeDiscreteGrid`` (Discregrid,
+        ``Simulation/CubicSDFCollisionDetection.h:14-42``) — C¹-smooth
+        fields so contact normals don't jump at cell boundaries."""
+        if order not in (1, 3):
+            raise ValueError(f"grid SDF order must be 1 or 3, got {order}")
         values = jnp.asarray(values, jnp.float32)
         origin = np.asarray(origin, np.float32)
         extent = np.asarray(extent, np.float32)
         cells = np.asarray(values.shape, np.float32) - 1.0
         return SDFShape(
-            kind=GRID,
+            kind=GRID if order == 1 else GRID_CUBIC,
             params=jnp.zeros((1,), jnp.float32),
             invert=jnp.float32(-1.0 if invert else 1.0),
             grid_values=values,
@@ -180,6 +188,9 @@ class SDFShape:
         elif k == GRID:
             d = grid_trilinear(self.grid_values, self.grid_origin,
                                self.grid_inv_cell, p)
+        elif k == GRID_CUBIC:
+            d = grid_cubic_lagrange(self.grid_values, self.grid_origin,
+                                    self.grid_inv_cell, p)
         else:  # pragma: no cover
             raise ValueError(f"unknown SDF kind {k!r}")
         return self.invert * d
@@ -223,7 +234,7 @@ def shape_bounding_radius(shape: SDFShape) -> float:
         return float(np.linalg.norm(p[:3]) + p[3])
     if k == PLANE:
         return float("inf")
-    if k == GRID:
+    if k in (GRID, GRID_CUBIC):
         o = np.asarray(shape.grid_origin, np.float64)
         ext = (np.asarray(shape.grid_values.shape, np.float64) - 1.0) \
             / np.asarray(shape.grid_inv_cell, np.float64)
@@ -280,3 +291,52 @@ def grid_trilinear(values: Array, origin: Array, inv_cell: Array,
     c0 = c00 * (1 - fy) + c10 * fy
     c1 = c01 * (1 - fy) + c11 * fy
     return c0 * (1 - fz) + c1 * fz
+
+
+def _lagrange_weights_4(f: Array) -> Array:
+    """Cubic Lagrange basis on nodes {-1, 0, 1, 2} evaluated at ``f`` in
+    [0, 1] — the 1-D factor of the reference's tricubic Lagrange shape
+    functions (Discregrid ``CubicLagrangeDiscreteGrid::shape_function_``).
+    Returns ``(..., 4)`` weights that sum to 1."""
+    fm1 = f + 1.0
+    f1 = f - 1.0
+    f2 = f - 2.0
+    w0 = f * f1 * f2 * (-1.0 / 6.0)
+    w1 = fm1 * f1 * f2 * 0.5
+    w2 = fm1 * f * f2 * (-0.5)
+    w3 = fm1 * f * f1 * (1.0 / 6.0)
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def grid_cubic_lagrange(values: Array, origin: Array, inv_cell: Array,
+                        p: Array) -> Array:
+    """Separable tricubic Lagrange interpolation of a dense SDF grid at
+    points ``(..., 3)`` — C¹ fields and smooth central-difference normals,
+    matching the fidelity class of the reference's
+    ``CubicLagrangeDiscreteGrid`` (``CubicSDFCollisionDetection.h:14-42``)
+    without the Discregrid dependency. 64 gathers per point contracted by
+    three successive 1-D weight applications; stencil indices are clamped
+    at the boundary (degrades toward lower order in the outermost cell,
+    where baked grids should carry padding anyway)."""
+    nvec = jnp.asarray(values.shape, jnp.int32)
+    u = (p - origin) * inv_cell
+    u = jnp.clip(u, 0.0, jnp.asarray(values.shape, jnp.float32) - 1.000001)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+
+    wx = _lagrange_weights_4(f[..., 0])   # (..., 4)
+    wy = _lagrange_weights_4(f[..., 1])
+    wz = _lagrange_weights_4(f[..., 2])
+
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)
+    ix = jnp.clip(i0[..., 0, None] + offs, 0, nvec[0] - 1)   # (..., 4)
+    iy = jnp.clip(i0[..., 1, None] + offs, 0, nvec[1] - 1)
+    iz = jnp.clip(i0[..., 2, None] + offs, 0, nvec[2] - 1)
+
+    # gather the 4x4x4 stencil: (..., 4, 4, 4)
+    cube = values[ix[..., :, None, None], iy[..., None, :, None],
+                  iz[..., None, None, :]]
+    # contract z, then y, then x
+    cz = jnp.sum(cube * wz[..., None, None, :], axis=-1)     # (..., 4, 4)
+    cy = jnp.sum(cz * wy[..., None, :], axis=-1)             # (..., 4)
+    return jnp.sum(cy * wx, axis=-1)

@@ -107,3 +107,32 @@ class TetMesh:
             return_counts=True)
         surface = counts[inv[first_idx]] == 1
         self.surface_faces = tris[first_idx[surface]].astype(np.int32)
+
+
+def face_normals(x, faces):
+    """Per-face unit normals of deformed vertex positions ``x (N, 3)`` —
+    jittable (jnp in, jnp out): ``IndexedFaceMesh::updateNormals``
+    (``Utils/IndexedFaceMesh.cpp``). Degenerate faces get a zero normal."""
+    import jax.numpy as jnp
+
+    a = x[faces[:, 0]]
+    n = jnp.cross(x[faces[:, 1]] - a, x[faces[:, 2]] - a)
+    l2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    return jnp.where(l2 < 1e-24, 0.0, n / jnp.sqrt(jnp.maximum(l2, 1e-30)))
+
+
+def vertex_normals(x, faces, n_vertices=None):
+    """Area-weighted per-vertex unit normals — jittable scatter-add over
+    faces (``IndexedFaceMesh::updateVertexNormals``); the unnormalized
+    cross product carries the area weight, as in the reference."""
+    import jax.numpy as jnp
+
+    if n_vertices is None:
+        n_vertices = x.shape[0]
+    a = x[faces[:, 0]]
+    fn = jnp.cross(x[faces[:, 1]] - a, x[faces[:, 2]] - a)  # area-weighted
+    vn = jnp.zeros((n_vertices, 3), x.dtype)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(fn)
+    l2 = jnp.sum(vn * vn, axis=-1, keepdims=True)
+    return jnp.where(l2 < 1e-24, 0.0, vn / jnp.sqrt(jnp.maximum(l2, 1e-30)))

@@ -103,7 +103,9 @@ def _sdf_shape_for(d: dict, verts_scaled, faces, cache_dir,
     values, origin, extent = bake_mesh_sdf_cached(
         verts_scaled, faces, resolution=res, padding=0.1,
         cache_dir=cache_dir)
-    return SDFShape.grid(values, origin, extent, invert=invert)
+    # cubic Lagrange interpolation, like the reference's Discregrid
+    # CubicLagrangeDiscreteGrid (SceneLoaderDemo.cpp:212-260)
+    return SDFShape.grid(values, origin, extent, invert=invert, order=3)
 
 
 def _collision_shape(d: dict, verts_scaled, faces, cache_dir):

@@ -56,3 +56,27 @@ def test_vis_mesh_skinning_follows_deformation():
         np.asarray(fin.particles.x) - rest, axis=1).max()
     assert moved.max() > 0.01                  # they actually moved
     assert moved.max() <= body_moved + 1e-3    # by interpolation only
+
+
+def test_face_and_vertex_normals():
+    """face_normals/vertex_normals (IndexedFaceMesh::updateNormals /
+    updateVertexNormals): flat xy-grid → all +z; area weighting keeps
+    unit length after normalization."""
+    import jax.numpy as jnp
+    import numpy as np
+    from positionbaseddynamics_tpu.models import (
+        face_normals, regular_triangle_grid, vertex_normals)
+
+    x, faces = regular_triangle_grid(5, 4, scale=(1.0, 1.0))
+    # builder grids live in a vertical plane in some conventions; force xy
+    x = np.asarray(x, np.float32)
+    if np.allclose(x[:, 2], x[0, 2]):
+        pass  # already planar in z
+    else:
+        x = np.stack([x[:, 0], x[:, 1], np.zeros(len(x))], 1).astype(np.float32)
+    x = jnp.asarray(x)
+    fn = np.asarray(face_normals(x, jnp.asarray(faces)))
+    vn = np.asarray(vertex_normals(x, jnp.asarray(faces)))
+    assert np.allclose(np.abs(fn[:, 2]), 1.0, atol=1e-6)
+    assert np.allclose(np.abs(vn[:, 2]), 1.0, atol=1e-6)
+    assert np.allclose(np.linalg.norm(vn, axis=1), 1.0, atol=1e-5)

@@ -76,6 +76,42 @@ def test_grid_sdf_matches_analytic_sphere():
     np.testing.assert_allclose(n[0], [1.0, 0.0, 0.0], atol=5e-2)
 
 
+def test_grid_cubic_lagrange_reproduces_cubics_and_beats_trilinear():
+    """order=3 grid (CubicSDFCollisionDetection.h:14-42 analogue): cubic
+    Lagrange must reproduce a trivariate cubic polynomial exactly at
+    off-node points and approximate a smooth field strictly better than
+    trilinear."""
+    res = 17
+    axes = np.linspace(-2.0, 2.0, res)
+    gx, gy, gz = np.meshgrid(axes, axes, axes, indexing="ij")
+
+    # exact reproduction of a cubic polynomial
+    poly = (0.3 * gx**3 - 0.5 * gx * gy**2 + gz**3
+            + 0.7 * gx * gy * gz + gy - 1.0)
+    g3 = SDFShape.grid(poly.astype(np.float32), origin=(-2, -2, -2),
+                       extent=(4, 4, 4), order=3)
+    pts = np.array([[0.13, -0.41, 0.77], [1.21, 0.9, -1.3],
+                    [-0.55, 0.05, 0.61]], np.float32)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    ref = 0.3 * x**3 - 0.5 * x * y**2 + z**3 + 0.7 * x * y * z + y - 1.0
+    np.testing.assert_allclose(g3.distance(jnp.asarray(pts)), ref,
+                               atol=5e-4)
+
+    # sphere SDF: cubic error well below trilinear error
+    vals = (np.sqrt(gx**2 + gy**2 + gz**2) - 1.0).astype(np.float32)
+    g1 = SDFShape.grid(vals, origin=(-2, -2, -2), extent=(4, 4, 4), order=1)
+    g3 = SDFShape.grid(vals, origin=(-2, -2, -2), extent=(4, 4, 4), order=3)
+    rng = np.random.default_rng(0)
+    q = rng.uniform(-1.5, 1.5, size=(256, 3)).astype(np.float32)
+    exact = np.linalg.norm(q, axis=-1) - 1.0
+    keep = np.abs(np.linalg.norm(q, axis=-1)) > 0.3   # away from the kink at 0
+    e1 = np.abs(np.asarray(g1.distance(jnp.asarray(q))) - exact)[keep]
+    e3 = np.abs(np.asarray(g3.distance(jnp.asarray(q))) - exact)[keep]
+    assert e3.max() < e1.max() * 0.5
+    n = g3.normal(jnp.array([[1.5, 0.0, 0.0]]))
+    np.testing.assert_allclose(n[0], [1.0, 0.0, 0.0], atol=1e-2)
+
+
 def test_bake_mesh_sdf_cube():
     # unit cube mesh
     v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
