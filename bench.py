@@ -84,6 +84,12 @@ def main():
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "into DIR (inspect with TensorBoard/XProf)")
+    ap.add_argument("--pallas", dest="pallas", action="store_true",
+                    default=None,
+                    help="force the fused Pallas substep kernel "
+                         "(solver/grid_cloth_pallas.py) for the timed loop")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false",
+                    help="force the jnp structured-grid path")
     ap.add_argument("--donate", action="store_true",
                     help="attempt buffer donation of the state (known to "
                          "fail with INVALID_ARGUMENT on tunneled axon "
@@ -109,6 +115,61 @@ def main():
 
     def chunk(s):
         return rollout(s, cset, cfg, args.steps_per_call)[0]
+
+    # Fused Pallas substep kernel (docs/PERF.md "next lever 1"): one
+    # launch per sim step with state resident in VMEM. OPT-IN ONLY:
+    # on this image's tunneled axon backend the Mosaic compile of the
+    # fused kernel hangs indefinitely (observed 2026-08-21; a killed
+    # compile also wedges the tunnel), so the default stays on the
+    # known-good jnp structured-grid path.
+    if args.pallas:
+        import sys
+
+        import numpy as _np
+
+        from positionbaseddynamics_tpu.solver.grid_cloth_pallas import (
+            make_pallas_cloth_step)
+
+        gc = cset.grid_cloths[0]
+        pstep = make_pallas_cloth_step(
+            gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
+            dt=cfg.dt, substeps=cfg.substeps,
+            max_iterations=cfg.max_iterations)
+
+        @jax.jit
+        def pallas_chunk(xv):
+            def body(c, _):
+                return pstep(*c), None
+            out, _ = jax.lax.scan(body, xv, None,
+                                  length=args.steps_per_call)
+            return out
+
+        try:
+            xv = (state.particles.x, state.particles.v)
+            xv = jax.block_until_ready(pallas_chunk(xv))   # compile+probe
+            if not _np.isfinite(_np.asarray(xv[0])).all():
+                raise FloatingPointError("pallas probe produced non-finite x")
+            t0 = time.perf_counter()
+            for _ in range(args.calls):
+                xv = pallas_chunk(xv)
+            jax.block_until_ready(xv)
+            dt = time.perf_counter() - t0
+            steps = args.calls * args.steps_per_call
+            steps_per_s = steps / dt
+            print(json.dumps({
+                "metric": f"xpbd_cloth_"
+                          f"{args.width * args.height // 1000}k_steps_per_s",
+                "value": round(steps_per_s, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_s / 60.0, 3),
+                "path": "pallas_fused",
+            }))
+            return
+        except Exception as e:  # pragma: no cover - backend dependent
+            if args.pallas:
+                raise
+            print(f"pallas path unavailable ({type(e).__name__}: {e}); "
+                  f"falling back to jnp grid path", file=sys.stderr)
 
     # NOTE: default has no donate_argnums — buffer donation triggers an
     # INVALID_ARGUMENT TPU backend error on this image's tunneled (axon)
