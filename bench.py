@@ -130,6 +130,12 @@ def main():
         from positionbaseddynamics_tpu.solver.grid_cloth_pallas import (
             make_pallas_cloth_step)
 
+        for flag in ("batch", "donate", "profile", "timers"):
+            val = getattr(args, flag)
+            if val not in (None, False, 1):
+                print(f"warning: --{flag} is ignored on the --pallas path",
+                      file=sys.stderr)
+
         gc = cset.grid_cloths[0]
         pstep = make_pallas_cloth_step(
             gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
@@ -144,32 +150,26 @@ def main():
                                   length=args.steps_per_call)
             return out
 
-        try:
-            xv = (state.particles.x, state.particles.v)
-            xv = jax.block_until_ready(pallas_chunk(xv))   # compile+probe
-            if not _np.isfinite(_np.asarray(xv[0])).all():
-                raise FloatingPointError("pallas probe produced non-finite x")
-            t0 = time.perf_counter()
-            for _ in range(args.calls):
-                xv = pallas_chunk(xv)
-            jax.block_until_ready(xv)
-            dt = time.perf_counter() - t0
-            steps = args.calls * args.steps_per_call
-            steps_per_s = steps / dt
-            print(json.dumps({
-                "metric": f"xpbd_cloth_"
-                          f"{args.width * args.height // 1000}k_steps_per_s",
-                "value": round(steps_per_s, 2),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / 60.0, 3),
-                "path": "pallas_fused",
-            }))
-            return
-        except Exception as e:  # pragma: no cover - backend dependent
-            if args.pallas:
-                raise
-            print(f"pallas path unavailable ({type(e).__name__}: {e}); "
-                  f"falling back to jnp grid path", file=sys.stderr)
+        xv = (state.particles.x, state.particles.v)
+        xv = jax.block_until_ready(pallas_chunk(xv))   # compile+probe
+        if not _np.isfinite(_np.asarray(xv[0])).all():
+            raise FloatingPointError("pallas probe produced non-finite x")
+        t0 = time.perf_counter()
+        for _ in range(args.calls):
+            xv = pallas_chunk(xv)
+        jax.block_until_ready(xv)
+        dt = time.perf_counter() - t0
+        steps = args.calls * args.steps_per_call
+        steps_per_s = steps / dt
+        print(json.dumps({
+            "metric": f"xpbd_cloth_"
+                      f"{args.width * args.height // 1000}k_steps_per_s",
+            "value": round(steps_per_s, 2),
+            "unit": "steps/s",
+            "vs_baseline": round(steps_per_s / 60.0, 3),
+            "path": "pallas_fused",
+        }))
+        return
 
     # NOTE: default has no donate_argnums — buffer donation triggers an
     # INVALID_ARGUMENT TPU backend error on this image's tunneled (axon)

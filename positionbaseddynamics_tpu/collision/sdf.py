@@ -149,8 +149,9 @@ class SDFShape:
         """Dense-grid SDF. ``order=1`` → trilinear; ``order=3`` → separable
         cubic Lagrange on a 4×4×4 stencil, the TPU-native stand-in for the
         reference's ``CubicLagrangeDiscreteGrid`` (Discregrid,
-        ``Simulation/CubicSDFCollisionDetection.h:14-42``) — C¹-smooth
-        fields so contact normals don't jump at cell boundaries."""
+        ``Simulation/CubicSDFCollisionDetection.h:14-42``) — C⁰ like the
+        reference's grid, but with markedly smaller gradient jumps at cell
+        boundaries than trilinear (smoother contact normals)."""
         if order not in (1, 3):
             raise ValueError(f"grid SDF order must be 1 or 3, got {order}")
         values = jnp.asarray(values, jnp.float32)
@@ -311,8 +312,10 @@ def _lagrange_weights_4(f: Array) -> Array:
 def grid_cubic_lagrange(values: Array, origin: Array, inv_cell: Array,
                         p: Array) -> Array:
     """Separable tricubic Lagrange interpolation of a dense SDF grid at
-    points ``(..., 3)`` — C¹ fields and smooth central-difference normals,
-    matching the fidelity class of the reference's
+    points ``(..., 3)`` — piecewise-cubic C⁰ fields (shifted 4×4×4 stencils
+    keep one-sided derivative jumps at grid nodes, like the reference's
+    Discregrid fields) with much smoother central-difference normals than
+    trilinear, matching the fidelity class of the reference's
     ``CubicLagrangeDiscreteGrid`` (``CubicSDFCollisionDetection.h:14-42``)
     without the Discregrid dependency. 64 gathers per point contracted by
     three successive 1-D weight applications; stencil indices are clamped

@@ -127,6 +127,9 @@ class TriModelHandle:
 class TetModelHandle:
     offset: int
     mesh: TetMesh
+    # (width, height, depth) when the model is a regular tet grid —
+    # enables the structured-stencil fast path (``solver/grid_tet.py``)
+    grid: Optional[Tuple[int, int, int]] = None
 
 
 @dataclass
@@ -216,6 +219,8 @@ class SceneBuilder:
     _direct_rods: list = field(default_factory=list)    # chain specs
     # structured grid cloth specs: offset -> {hw, distance, bending}
     _grid_cloth_specs: dict = field(default_factory=dict)
+    # structured tet grid specs: (whd, offset, stiffness, poisson, tets)
+    _grid_tet_specs: list = field(default_factory=list)
 
     # ---- particles -------------------------------------------------------
 
@@ -263,7 +268,8 @@ class SceneBuilder:
                               rotation=None, scale=(1.0, 1.0, 1.0)) -> TetModelHandle:
         pts, tets = regular_tet_grid(width, height, depth, translation, rotation, scale)
         offset = self.add_particles(pts, 1.0)
-        return TetModelHandle(offset, TetMesh(len(pts), tets))
+        return TetModelHandle(offset, TetMesh(len(pts), tets),
+                              grid=(width, height, depth))
 
     def add_tet_model(self, points, tets, mass=1.0) -> TetModelHandle:
         points = np.asarray(points, np.float32)
@@ -912,6 +918,14 @@ class SceneBuilder:
             self._distance.append((edges, _bc(stiffness, len(edges)), xpbd))
             self._volume.append((tets, _bc(volume_stiffness, n), xpbd))
         elif method in (2, 3):
+            if (method == 3 and self.use_structured_grid
+                    and tm.grid is not None):
+                # structured fast path; build() falls back to the generic
+                # batch if the cells turn out non-congruent
+                self._grid_tet_specs.append(
+                    (tm.grid, tm.offset, float(stiffness),
+                     float(poisson_ratio), tets))
+                return
             self._fem_tet.append((tets, _bc(stiffness, n),
                                   _bc(poisson_ratio, n), method == 3))
         elif method == 4:
@@ -1098,6 +1112,19 @@ class SceneBuilder:
                     kw["volume"] = batch
                 else:
                     extras.append(batch)
+        if self._grid_tet_specs:
+            from ..solver.grid_tet import GridTetBatch
+            gts = []
+            for (w_g, h_g, d_g), off, stiff, nu, tets in self._grid_tet_specs:
+                try:
+                    gts.append(GridTetBatch.create(w_g, h_g, d_g, off, x,
+                                                   stiff, nu))
+                except NotImplementedError:
+                    # non-congruent cells — generic unstructured fallback
+                    self._fem_tet.append((tets, _bc(stiff, len(tets)),
+                                          _bc(nu, len(tets)), True))
+            if gts:
+                kw["grid_tets"] = tuple(gts)
         if self._fem_tet:
             extras = kw.setdefault("_extras", [])
             for flag in sorted({c[3] for c in self._fem_tet}):

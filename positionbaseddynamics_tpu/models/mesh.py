@@ -112,25 +112,32 @@ class TetMesh:
 def face_normals(x, faces):
     """Per-face unit normals of deformed vertex positions ``x (N, 3)`` —
     jittable (jnp in, jnp out): ``IndexedFaceMesh::updateNormals``
-    (``Utils/IndexedFaceMesh.cpp``). Degenerate faces get a zero normal."""
+    (``Utils/IndexedFaceMesh.h:96-121``). As in the reference, degenerate
+    faces (normalized cross product with squared norm < 1e-6) get the
+    UnitX fallback normal."""
     import jax.numpy as jnp
 
     a = x[faces[:, 0]]
     n = jnp.cross(x[faces[:, 1]] - a, x[faces[:, 2]] - a)
     l2 = jnp.sum(n * n, axis=-1, keepdims=True)
-    return jnp.where(l2 < 1e-24, 0.0, n / jnp.sqrt(jnp.maximum(l2, 1e-30)))
+    n = jnp.where(l2 < 1e-24, 0.0, n / jnp.sqrt(jnp.maximum(l2, 1e-30)))
+    # reference: if normalized normal squaredNorm < 1e-6 → Vector3r::UnitX()
+    degenerate = jnp.sum(n * n, axis=-1, keepdims=True) < 1e-6
+    unit_x = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], x.dtype), n.shape)
+    return jnp.where(degenerate, unit_x, n)
 
 
 def vertex_normals(x, faces, n_vertices=None):
-    """Area-weighted per-vertex unit normals — jittable scatter-add over
-    faces (``IndexedFaceMesh::updateVertexNormals``); the unnormalized
-    cross product carries the area weight, as in the reference."""
+    """Per-vertex unit normals — jittable scatter-add of *normalized* face
+    normals (uniform weighting), exactly matching
+    ``IndexedFaceMesh::updateVertexNormals``
+    (``Utils/IndexedFaceMesh.h:123-146``): each incident face contributes
+    its unit normal regardless of area, then the sum is normalized."""
     import jax.numpy as jnp
 
     if n_vertices is None:
         n_vertices = x.shape[0]
-    a = x[faces[:, 0]]
-    fn = jnp.cross(x[faces[:, 1]] - a, x[faces[:, 2]] - a)  # area-weighted
+    fn = face_normals(x, faces)
     vn = jnp.zeros((n_vertices, 3), x.dtype)
     for k in range(3):
         vn = vn.at[faces[:, k]].add(fn)

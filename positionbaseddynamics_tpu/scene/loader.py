@@ -56,6 +56,7 @@ class LoadedScene:
     tri_models: list              # [(id, TriModelHandle)]
     tet_models: list              # [(id, TetModelHandle)]
     sim_params: dict              # raw "Simulation" JSON block
+    skipped_bodies: list = None   # [(scene body id, missing geometry path)]
 
 
 def _axis_angle_quat(axis, angle) -> np.ndarray:
@@ -100,12 +101,16 @@ def _sdf_shape_for(d: dict, verts_scaled, faces, cache_dir,
 
     res = [int(r) for r in d.get("resolutionSDF", default_res)]
     invert = bool(d.get("invertSDF", False))
+    # cubic Lagrange interpolation by default, like the reference's
+    # Discregrid CubicLagrangeDiscreteGrid (SceneLoaderDemo.cpp:212-260);
+    # "interpolationOrderSDF": 1 opts a scene back into trilinear (8
+    # gathers per eval instead of 64) — an extension key, absent from the
+    # reference format.
+    order = int(d.get("interpolationOrderSDF", 3))
     values, origin, extent = bake_mesh_sdf_cached(
         verts_scaled, faces, resolution=res, padding=0.1,
         cache_dir=cache_dir)
-    # cubic Lagrange interpolation, like the reference's Discregrid
-    # CubicLagrangeDiscreteGrid (SceneLoaderDemo.cpp:212-260)
-    return SDFShape.grid(values, origin, extent, invert=invert, order=3)
+    return SDFShape.grid(values, origin, extent, invert=invert, order=order)
 
 
 def _collision_shape(d: dict, verts_scaled, faces, cache_dir):
@@ -205,6 +210,7 @@ def load_scene_dict(data: dict, base_path: str = ".",
 
     # -- rigid bodies (SceneLoaderDemo.cpp:470-545) --------------------------
     rigid_ids: dict = {}
+    skipped_bodies: list = []
     has_collision = False
     for rbd in data.get("RigidBodies", []):
         rbd = _cap(rbd)
@@ -215,6 +221,7 @@ def load_scene_dict(data: dict, base_path: str = ".",
             import warnings
             warnings.warn(f"skipping rigid body {rbd.get('id')}: missing "
                           f"geometry {rbd['geometryFile']}")
+            skipped_bodies.append((rbd.get("id"), rbd["geometryFile"]))
             continue
         geo = get_mesh(rbd["geometryFile"])
         c = _body_common(rbd)
@@ -407,7 +414,8 @@ def load_scene_dict(data: dict, base_path: str = ".",
     return LoadedScene(
         name=str(data.get("Name", "scene")), state=state, cset=cset,
         pipeline=pipeline, config=cfg, builder=b, rigid_ids=rigid_ids,
-        tri_models=tri_models, tet_models=tet_models, sim_params=sim)
+        tri_models=tri_models, tet_models=tet_models, sim_params=sim,
+        skipped_bodies=skipped_bodies)
 
 
 def load_scene(path: str, cache_dir: Optional[str] = None,

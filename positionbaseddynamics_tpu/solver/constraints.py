@@ -1093,6 +1093,7 @@ class ConstraintSet:
     bend_twist: Optional[BendTwistBatch] = None
     joints: Tuple = ()
     grid_cloths: Tuple = ()   # structured-grid fast path (solver/grid_cloth.py)
+    grid_tets: Tuple = ()     # structured tet-grid fast path (solver/grid_tet.py)
     # build-time-precomputed 1/#constraints-per-item Jacobi denominators,
     # keyed by family name (+ "_q" suffix for quaternion items). Computed by
     # with_jacobi_counts(); the stepper falls back to an in-graph scatter
@@ -1137,4 +1138,6 @@ class ConstraintSet:
         }
         for i, gc in enumerate(self.grid_cloths):
             lams[f"grid_cloth{i}"] = gc.init_lambda()
+        for i, gt in enumerate(self.grid_tets):
+            lams[f"grid_tet{i}"] = gt.init_lambda()
         return lams

@@ -167,10 +167,15 @@ class GridClothBatch:
             family is congruent, so rest lengths and Q matrices are
             identical across the family grid. This removes the dominant
             HBM stream of the bending pass (the (Fh, Fw, 4, 4) Q read,
-            ~19 MB/substep at 320x320 — docs/PERF.md)."""
+            ~19 MB/substep at 320x320 — docs/PERF.md). Congruent stencils
+            produce values equal only up to f64→f32 init rounding, so the
+            tolerance is a few f32 ulps relative; the collapsed value is
+            the mean (the noise-free uniform value)."""
             flat = a.reshape(-1, *a.shape[len(shape):])
-            if np.allclose(flat, flat[0], rtol=1e-6, atol=1e-7):
-                return jnp.asarray(flat[0], jnp.float32)
+            mean = flat.mean(axis=0)
+            scale = np.maximum(np.abs(mean), 1e-12)
+            if np.all(np.abs(flat - mean) <= 1e-5 * scale + 1e-7):
+                return jnp.asarray(mean, jnp.float32)
             return jnp.asarray(a, jnp.float32)
 
         if has_distance:

@@ -1,29 +1,38 @@
 """Fused Pallas TPU kernel for structured-grid XPBD cloth.
 
-SURVEY §7 step 12: one kernel launch per *sim step* that keeps the whole
-cloth state resident in VMEM across all substeps — integrate → XPBD
-distance families → XPBD isometric-bending families → velocity update,
-looped ``substeps`` times, with one HBM read of (x, v) at entry and one
-write at exit. The jnp/XLA path (``solver/grid_cloth.py``) re-reads the
-state arrays from HBM for every one of the ~30 fused elementwise passes
-per substep; here total HBM traffic per step is ~5 MB instead of
-~100+ MB, and all intermediate grids live in VMEM.
+SURVEY §7 step 12: one kernel launch per *substep* that runs the whole
+XPBD update — integrate → 3 distance families → 3 isometric-bending
+families → velocity update — with the cloth state resident in VMEM, so
+each substep costs one HBM read of (x, v) and one write instead of the
+~30 separate fused-elementwise passes (each a full HBM round trip) of
+the jnp path in ``solver/grid_cloth.py``.
 
-Layout: positions/velocities are stored as separate (H, W) component
-planes — a trailing dim of 3 would put 3 elements in the 128-wide lane
-dimension and waste 42× of every tile. Parameters are the *uniform*
-collapsed scalars of :class:`~.grid_cloth.GridClothBatch` (regular grids
-only — the bench/north-star scene).
+TPU-native layout rules (the first version of this kernel violated all
+three and hung the Mosaic compiler):
+
+* **Aligned planes.** Positions/velocities are (H, W) component planes
+  zero-padded to (Hp, Wp) = (⌈H/8⌉·8, ⌈W/128⌉·128) so every operand is
+  tile-aligned; a trailing dim of 3 would waste 42× of each (8, 128)
+  float32 tile.
+* **Rolls, not slices.** Neighbor access and the Jacobi scatter-back are
+  circular shifts (``pltpu.roll``) of full planes plus validity masks —
+  never sub-plane slice reads or ``.at[1:-1, :-1].add()`` masked stores,
+  which Mosaic lowers to per-row masked ops with explosive compile cost.
+* **Masks from iota.** Constraint-family validity and the triangulation
+  parity ``helper(i,j) = (i%2 == j%2)``
+  (``SimulationModel.cpp:831-903``) are computed in-kernel from
+  ``broadcasted_iota`` — no mask planes travel through HBM.
 
 Semantics are identical to ``GridClothBatch.project`` + the substep loop
 of ``solver/step.py`` (asserted in ``tests/test_grid_cloth_pallas.py``):
-XPBD λ per family, reset each substep, Jacobi averaging with the
-build-time count denominators.
+XPBD compliance per ``XPBD.cpp:14-60`` (distance) and ``XPBD.cpp:153-213``
+(rank-1 factored isometric bending), λ reset each substep
+(``Constraints.cpp:1240-1241``), Jacobi averaging with the build-time
+count denominators.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +40,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .grid_cloth import GridClothBatch, _helper_grid
+from .grid_cloth import GridClothBatch
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 def _family_rest(batch, fam):
@@ -43,15 +56,81 @@ def _family_rest(batch, fam):
     return float(r)
 
 
+def _family_svec(batch, fam):
+    """Rank-1 bending S vectors of a family, collapsed to two scalar
+    4-vectors ``(S_even, S_odd)`` keyed by the triangulation parity
+    ``helper(i,j)`` — on a regular grid the stencils alternate between
+    exactly two congruence classes (mirror images across the quad
+    diagonal), so ``S = par·S_even + (1−par)·S_odd``."""
+    s = np.asarray(batch.q_mat[fam], np.float32)
+    if s.ndim == 1:
+        sv = [float(v) for v in s]
+        return sv, sv
+    h, w = batch.height, batch.width
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    helper = (ii % 2 == jj % 2)
+    par = {"bh": helper[1:h - 1, :w - 1], "bv": helper[:h - 1, 1:w - 1],
+           "bd": helper[:h - 1, :w - 1]}[fam]
+    if par.shape != s.shape[:2]:
+        raise NotImplementedError(
+            f"unexpected {fam} S-plane shape {s.shape} for "
+            f"{h}x{w} grid")
+    out = []
+    for m in (par, ~par):
+        rows = s[m]
+        if rows.size == 0:
+            out.append([0.0, 0.0, 0.0, 0.0])
+            continue
+        mean = rows.mean(axis=0, dtype=np.float64)
+        if not np.all(np.abs(rows - mean)
+                      <= 1e-4 * np.maximum(np.abs(mean), 1e-12) + 1e-6):
+            raise NotImplementedError(
+                "pallas cloth kernel requires per-parity-uniform bending "
+                "stencils (regular grid)")
+        out.append([float(v) for v in mean])
+    return out[0], out[1]
+
+
+# Stencil tables. A "blend" is a list of (parity_weight, (di, dj)) pairs:
+# the point is  Σ w(par) · x[i+di, j+dj]  where w is 'p' (parity), 'q'
+# (1−parity) or '1'. Offsets/parities mirror the slice algebra of
+# ``grid_cloth.GridClothBatch`` exactly (same constraint (i,j) anchors).
+_DIST = {
+    "h": {"mask": ("i<=H-1", "j<=W-2"),
+          "a": [("1", (0, 0))], "b": [("1", (0, 1))]},
+    "v": {"mask": ("i<=H-2", "j<=W-1"),
+          "a": [("1", (0, 0))], "b": [("1", (1, 0))]},
+    "d": {"mask": ("i<=H-2", "j<=W-2"),
+          "a": [("p", (0, 0)), ("q", (0, 1))],
+          "b": [("p", (1, 1)), ("q", (1, 0))]},
+}
+# bending stencil point order [a, b, f0, f1] matches the S-vector index
+# order of ``_init_isometric_bending_s_np`` (internal (p2, p3, p0, p1))
+_BEND = {
+    "bh": {"mask": ("1<=i<=H-2", "j<=W-2"),
+           "pts": [[("1", (0, 0))], [("1", (0, 1))],
+                   [("p", (1, 1)), ("q", (1, 0))],
+                   [("p", (-1, 1)), ("q", (-1, 0))]]},
+    "bv": {"mask": ("i<=H-2", "1<=j<=W-2"),
+           "pts": [[("1", (0, 0))], [("1", (1, 0))],
+                   [("p", (1, 1)), ("q", (0, 1))],
+                   [("p", (1, -1)), ("q", (0, -1))]]},
+    "bd": {"mask": ("i<=H-2", "j<=W-2"),
+           "pts": [[("p", (0, 0)), ("q", (0, 1))],
+                   [("p", (1, 1)), ("q", (1, 0))],
+                   [("p", (0, 1)), ("q", (0, 0))],
+                   [("p", (1, 0)), ("q", (1, 1))]]},
+}
+
+
 def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
                            inv_cnt_bend, *, dt: float, substeps: int,
                            max_iterations: int = 1,
                            gravity=(0.0, -9.81, 0.0),
                            damping: float = 0.0):
-    """Build ``step(x (N, 3), v (N, 3)) -> (x, v)`` as one fused Pallas
-    kernel. Requires a uniform-parameter grid batch covering particles
-    ``[offset, offset + H*W)`` with ``offset == 0`` and the full particle
-    array (the headline bench scene shape)."""
+    """Build ``step(x (N, 3), v (N, 3)) -> (x, v)``: a scan of ``substeps``
+    fused Pallas substep kernels. Requires a uniform-parameter grid batch
+    covering particles ``[0, H*W)`` (the headline bench scene shape)."""
     h_grid, w_grid = batch.height, batch.width
     if batch.offset != 0:
         raise NotImplementedError("pallas cloth kernel expects offset 0")
@@ -60,259 +139,228 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
     if not (batch.xpbd_distance and batch.xpbd_bending):
         raise NotImplementedError("XPBD families only")
 
-    rest_h = _family_rest(batch, "h")
-    rest_v = _family_rest(batch, "v")
-    rest_d = _family_rest(batch, "d")
-    stiff_d = {f: float(batch.stiff[f]) for f in ("h", "v", "d")}
-    # rank-1 bending factors: (Fh, Fw, 4) planes per family (or uniform
-    # (4,) broadcast); split into 4 (Fh, Fw) planes for lane-friendly VMEM
-    svecs = {}
-    for f in ("bh", "bv", "bd"):
-        s = np.asarray(batch.q_mat[f], np.float32)
-        if s.ndim == 1:
-            fh, fw = {"bh": (h_grid - 2, w_grid - 1),
-                      "bv": (h_grid - 1, w_grid - 2),
-                      "bd": (h_grid - 1, w_grid - 1)}[f]
-            s = np.broadcast_to(s, (fh, fw, 4))
-        svecs[f] = [jnp.asarray(s[..., j]) for j in range(4)]
+    hp_pad = _round_up(h_grid, 8)
+    wp_pad = _round_up(w_grid, 128)
+
+    rest = {f: _family_rest(batch, f) for f in ("h", "v", "d")}
+    stiff = {f: float(batch.stiff[f]) for f in ("h", "v", "d")}
+    svec = {f: _family_svec(batch, f) for f in ("bh", "bv", "bd")}
     bstiff = {f: float(batch.bend_stiff[f]) for f in ("bh", "bv", "bd")}
 
     h_sub = dt / substeps
     inv_h = 1.0 / h_sub
-    inv_dt2 = 1.0 / (h_sub * h_sub)
-    alpha_d = {f: (1.0 / (stiff_d[f] * h_sub * h_sub)
-                   if stiff_d[f] != 0.0 else 0.0) for f in stiff_d}
+    alpha_d = {f: (1.0 / (stiff[f] * h_sub * h_sub)
+                   if stiff[f] != 0.0 else 0.0) for f in stiff}
     alpha_b = {f: (1.0 / (bstiff[f] * h_sub * h_sub)
                    if bstiff[f] != 0.0 else 0.0) for f in bstiff}
     gx, gy, gz = (float(g) for g in gravity)
 
-    # parity grid — passed into the kernel as a plane input (Pallas
-    # forbids closed-over array constants)
-    hp_host = jnp.asarray(_helper_grid(h_grid, w_grid), jnp.float32)
+    def _roll(p, shift, axis):
+        # pltpu.roll requires a non-negative shift; wrap (circular)
+        size = (hp_pad, wp_pad)[axis]
+        return pltpu.roll(p, shift % size, axis)
 
-    def distance_family(xc, w, lam, fam, hp):
-        """One distance family pass on component planes ``xc = (x, y, z)``.
-        Returns (acc planes contribution closure applied, new λ)."""
-        if fam == "h":
-            sa = lambda p: p[:, :-1]
-            sb = lambda p: p[:, 1:]
-            rest, alpha = rest_h, alpha_d["h"]
-        elif fam == "v":
-            sa = lambda p: p[:-1, :]
-            sb = lambda p: p[1:, :]
-            rest, alpha = rest_v, alpha_d["v"]
-        else:
-            sa = lambda p: hp * p[:-1, :-1] + (1.0 - hp) * p[:-1, 1:]
-            sb = lambda p: hp * p[1:, 1:] + (1.0 - hp) * p[1:, :-1]
-            rest, alpha = rest_d, alpha_d["d"]
-        nx = sa(xc[0]) - sb(xc[0])
-        ny = sa(xc[1]) - sb(xc[1])
-        nz = sa(xc[2]) - sb(xc[2])
-        d2 = nx * nx + ny * ny + nz * nz
-        d = jnp.sqrt(d2)
-        wa = sa(w)
-        wb = sb(w)
-        c = d - rest
-        k = wa + wb + alpha
-        valid = (d > 1e-6) & (jnp.abs(k) > 1e-6)
-        dlam = jnp.where(valid, -(c + alpha * lam) / k, 0.0)
-        new_lam = lam + dlam
-        s = dlam / jnp.maximum(d, 1e-6)
-        px_ = nx * s
-        py_ = ny * s
-        pz_ = nz * s
-        return (sa, sb, wa, wb, (px_, py_, pz_)), new_lam
+    def _shift(p, di, dj):
+        """Plane whose (i, j) entry is p[i+di, j+dj] (circular; callers
+        mask the wrapped rows/cols)."""
+        if di:
+            p = _roll(p, -di, 0)
+        if dj:
+            p = _roll(p, -dj, 1)
+        return p
 
-    def scatter_distance(accs, fam, parts, hp):
-        sa, sb, wa, wb, (px_, py_, pz_) = parts
-        out = []
-        for acc, pc in zip(accs, (px_, py_, pz_)):
-            ca = wa * pc
-            cb = -wb * pc
-            if fam == "h":
-                acc = acc.at[:, :-1].add(ca).at[:, 1:].add(cb)
-            elif fam == "v":
-                acc = acc.at[:-1, :].add(ca).at[1:, :].add(cb)
-            else:
-                acc = acc.at[:-1, :-1].add(ca * hp)
-                acc = acc.at[:-1, 1:].add(ca * (1.0 - hp))
-                acc = acc.at[1:, 1:].add(cb * hp)
-                acc = acc.at[1:, :-1].add(cb * (1.0 - hp))
-            out.append(acc)
-        return out
+    def _scatter(acc, c, di, dj):
+        """acc[i+di, j+dj] += c[i, j] for every constraint cell (c is
+        already masked, so wrapped lanes add zero)."""
+        if di:
+            c = _roll(c, di, 0)
+        if dj:
+            c = _roll(c, dj, 1)
+        return acc + c
 
-    def bend_points(p, fam, hp):
-        """Gather the 4 stencil point planes [a, b, f0, f1] and return
-        them with a scatter closure — mirror of
-        ``GridClothBatch._bend_points`` on one component plane."""
-        if fam == "bh":
-            par = hp[1:, :]
-            a, b = p[1:-1, :-1], p[1:-1, 1:]
-            f0 = par * p[2:, 1:] + (1.0 - par) * p[2:, :-1]
-            f1 = par * p[:-2, 1:] + (1.0 - par) * p[:-2, :-1]
+    def _blend_gather(planes, blend, par):
+        """Gather one stencil point for each plane in ``planes``."""
+        wsel = {"1": None, "p": par, "q": 1.0 - par}
+        outs = []
+        for p in planes:
+            acc = None
+            for wname, (di, dj) in blend:
+                term = _shift(p, di, dj)
+                if wsel[wname] is not None:
+                    term = term * wsel[wname]
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        return outs
 
-            def scatter(acc, ca, cb, c0, c1):
-                acc = acc.at[1:-1, :-1].add(ca).at[1:-1, 1:].add(cb)
-                acc = acc.at[2:, 1:].add(c0 * par).at[2:, :-1].add(
-                    c0 * (1 - par))
-                return acc.at[:-2, 1:].add(c1 * par).at[:-2, :-1].add(
-                    c1 * (1 - par))
-        elif fam == "bv":
-            par = hp[:, 1:]
-            a, b = p[:-1, 1:-1], p[1:, 1:-1]
-            f0 = par * p[1:, 2:] + (1.0 - par) * p[:-1, 2:]
-            f1 = par * p[1:, :-2] + (1.0 - par) * p[:-1, :-2]
+    def _blend_scatter(acc, c, blend, par):
+        wsel = {"1": None, "p": par, "q": 1.0 - par}
+        for wname, (di, dj) in blend:
+            term = c if wsel[wname] is None else c * wsel[wname]
+            acc = _scatter(acc, term, di, dj)
+        return acc
 
-            def scatter(acc, ca, cb, c0, c1):
-                acc = acc.at[:-1, 1:-1].add(ca).at[1:, 1:-1].add(cb)
-                acc = acc.at[1:, 2:].add(c0 * par).at[:-1, 2:].add(
-                    c0 * (1 - par))
-                return acc.at[1:, :-2].add(c1 * par).at[:-1, :-2].add(
-                    c1 * (1 - par))
-        else:
-            par = hp
-            a = par * p[:-1, :-1] + (1.0 - par) * p[:-1, 1:]
-            b = par * p[1:, 1:] + (1.0 - par) * p[1:, :-1]
-            f0 = par * p[:-1, 1:] + (1.0 - par) * p[:-1, :-1]
-            f1 = par * p[1:, :-1] + (1.0 - par) * p[1:, 1:]
+    def _fam_mask(spec, i_idx, j_idx):
+        mi, mj = spec
+        m = None
 
-            def scatter(acc, ca, cb, c0, c1):
-                acc = acc.at[:-1, :-1].add(ca * par).at[:-1, 1:].add(
-                    ca * (1 - par))
-                acc = acc.at[1:, 1:].add(cb * par).at[1:, :-1].add(
-                    cb * (1 - par))
-                acc = acc.at[:-1, 1:].add(c0 * par).at[:-1, :-1].add(
-                    c0 * (1 - par))
-                return acc.at[1:, :-1].add(c1 * par).at[1:, 1:].add(
-                    c1 * (1 - par))
-        return (a, b, f0, f1), scatter
-
-    def bending_family(xc, w, lam, fam, sv, hp):
-        """Rank-1 bending: t = Σⱼ Sⱼ xⱼ (per component), C = −½|t|²,
-        ∇ⱼ = −Sⱼ t. Stencil gathers per component plane; internal point
-        order [a, b, f0, f1] matches the S index order."""
-        comps = []
-        scatter = None
-        for p in xc:
-            pts, scatter = bend_points(p, fam, hp)
-            comps.append(pts)
-        ws4, _ = bend_points(w, fam, hp)
-        t = [sv[0] * comps[ci][0] + sv[1] * comps[ci][1]
-             + sv[2] * comps[ci][2] + sv[3] * comps[ci][3]
-             for ci in range(3)]
-        t2 = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
-        energy = -0.5 * t2
-        w_s2 = (ws4[0] * sv[0] * sv[0] + ws4[1] * sv[1] * sv[1]
-                + ws4[2] * sv[2] * sv[2] + ws4[3] * sv[3] * sv[3])
-        sum_norm = w_s2 * t2
-        alpha = alpha_b[fam]
-        kk_ = sum_norm + alpha
-        valid = jnp.abs(kk_) > 1e-9
-        dlam = jnp.where(valid, -(energy + alpha * lam)
-                         / jnp.where(valid, kk_, 1.0), 0.0)
-        new_lam = lam + dlam
-        return (ws4, sv, t, scatter, dlam), new_lam
-
-    def scatter_bending(accs, parts):
-        ws4, sv, t, scatter, dlam = parts
-        out = []
-        for ci, acc in enumerate(accs):
-            corr = [-dlam * ws4[j] * sv[j] * t[ci] for j in range(4)]
-            out.append(scatter(acc, corr[0], corr[1], corr[2], corr[3]))
-        return out
-
-    lam_shapes = {
-        "h": (h_grid, w_grid - 1), "v": (h_grid - 1, w_grid),
-        "d": (h_grid - 1, w_grid - 1),
-        "bh": (h_grid - 2, w_grid - 1), "bv": (h_grid - 1, w_grid - 2),
-        "bd": (h_grid - 1, w_grid - 1),
-    }
+        def _and(m, cond):
+            return cond if m is None else m & cond
+        if mi == "i<=H-1":
+            m = _and(m, i_idx <= h_grid - 1)
+        elif mi == "i<=H-2":
+            m = _and(m, i_idx <= h_grid - 2)
+        else:  # "1<=i<=H-2"
+            m = _and(m, (i_idx >= 1) & (i_idx <= h_grid - 2))
+        if mj == "j<=W-1":
+            m = _and(m, j_idx <= w_grid - 1)
+        elif mj == "j<=W-2":
+            m = _and(m, j_idx <= w_grid - 2)
+        else:  # "1<=j<=W-2"
+            m = _and(m, (j_idx >= 1) & (j_idx <= w_grid - 2))
+        return m.astype(jnp.float32)
 
     def kernel(xx_ref, xy_ref, xz_ref, vx_ref, vy_ref, vz_ref, w_ref,
-               icd_ref, icb_ref, hp_ref, *rest_refs):
-        s_refs = rest_refs[:12]
-        (oxx_ref, oxy_ref, oxz_ref, ovx_ref, ovy_ref,
-         ovz_ref) = rest_refs[12:]
-        hp = hp_ref[:]
-        sv_all = {
-            "bh": [s_refs[j][:] for j in range(4)],
-            "bv": [s_refs[4 + j][:] for j in range(4)],
-            "bd": [s_refs[8 + j][:] for j in range(4)],
-        }
+               icd_ref, icb_ref,
+               oxx_ref, oxy_ref, oxz_ref, ovx_ref, ovy_ref, ovz_ref):
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (hp_pad, wp_pad), 0)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (hp_pad, wp_pad), 1)
+        # helper(i,j) = (i%2 == j%2), SimulationModel.cpp:831-903 parity
+        par = ((i_idx & 1) == (j_idx & 1)).astype(jnp.float32)
+        masks = {f: _fam_mask(_DIST[f]["mask"], i_idx, j_idx) for f in _DIST}
+        masks.update({f: _fam_mask(_BEND[f]["mask"], i_idx, j_idx)
+                      for f in _BEND})
+
+        w = w_ref[:]
+        dyn = (w > 0.0).astype(jnp.float32)
         xc = [xx_ref[:], xy_ref[:], xz_ref[:]]
         vc = [vx_ref[:], vy_ref[:], vz_ref[:]]
-        w = w_ref[:]
+
+        # -- semi-implicit Euler (gravity only), static particles frozen
+        old = list(xc)
+        vc = [vci + (h_sub * gci) * dyn for vci, gci in zip(vc, (gx, gy, gz))]
+        xc = [xci + h_sub * dyn * vci for xci, vci in zip(xc, vc)]
+
+        lams = {f: jnp.zeros((hp_pad, wp_pad), jnp.float32)
+                for f in ("h", "v", "d", "bh", "bv", "bd")}
         icd = icd_ref[:]
         icb = icb_ref[:]
-        dyn = (w > 0.0).astype(jnp.float32)
-        gvec = (gx, gy, gz)
 
-        def substep_body(_, carry):
-            xc, vc = list(carry[0]), list(carry[1])
-            old = list(xc)
-            # semi-implicit Euler (gravity only), static particles frozen
-            vc = [jnp.where(w > 0.0, vci + h_sub * gci, vci)
-                  for vci, gci in zip(vc, gvec)]
-            xc = [xci + h_sub * dyn * vci for xci, vci in zip(xc, vc)]
+        for _i in range(max_iterations):
+            # ---- distance families (XPBD.cpp:14-60) ----
+            accs = [jnp.zeros((hp_pad, wp_pad), jnp.float32)
+                    for _j in range(3)]
+            for fam in ("h", "v", "d"):
+                spec = _DIST[fam]
+                m = masks[fam]
+                pa = _blend_gather(xc + [w], spec["a"], par)
+                pb = _blend_gather(xc + [w], spec["b"], par)
+                wa, wb = pa[3], pb[3]
+                nx = pa[0] - pb[0]
+                ny = pa[1] - pb[1]
+                nz = pa[2] - pb[2]
+                d = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+                c = d - rest[fam]
+                k = wa + wb + alpha_d[fam]
+                valid = (d > 1e-6) & (jnp.abs(k) > 1e-6)
+                dlam = jnp.where(valid,
+                                 -(c + alpha_d[fam] * lams[fam])
+                                 / jnp.where(valid, k, 1.0), 0.0) * m
+                lams[fam] = lams[fam] + dlam
+                s = dlam / jnp.maximum(d, 1e-6)
+                for ci, nc in enumerate((nx, ny, nz)):
+                    pt = nc * s
+                    accs[ci] = _blend_scatter(accs[ci], wa * pt,
+                                              spec["a"], par)
+                    accs[ci] = _blend_scatter(accs[ci], -wb * pt,
+                                              spec["b"], par)
+            xc = [xci + icd * acc for xci, acc in zip(xc, accs)]
 
-            lams = {f: jnp.zeros(lam_shapes[f], jnp.float32)
-                    for f in lam_shapes}
-            for _i in range(max_iterations):
-                accs = [jnp.zeros_like(xc[0]) for _j in range(3)]
-                for fam in ("h", "v", "d"):
-                    parts, lams[fam] = distance_family(
-                        xc, w, lams[fam], fam, hp)
-                    accs = scatter_distance(accs, fam, parts, hp)
-                xc = [xci + icd * acc for xci, acc in zip(xc, accs)]
+            # ---- isometric-bending families (XPBD.cpp:153-213, rank-1
+            # factored: t = Σⱼ Sⱼxⱼ, C = −½|t|², ∇ⱼ = −Sⱼt) ----
+            accs = [jnp.zeros((hp_pad, wp_pad), jnp.float32)
+                    for _j in range(3)]
+            for fam in ("bh", "bv", "bd"):
+                spec = _BEND[fam]
+                m = masks[fam]
+                se, so = svec[fam]
+                # stencils alternate between two congruence classes with
+                # the triangulation parity of the constraint cell
+                sv = [par * sej + (1.0 - par) * soj
+                      for sej, soj in zip(se, so)]
+                pts = [_blend_gather(xc + [w], blend, par)
+                       for blend in spec["pts"]]           # 4 × [x,y,z,w]
+                t = [sv[0] * pts[0][ci] + sv[1] * pts[1][ci]
+                     + sv[2] * pts[2][ci] + sv[3] * pts[3][ci]
+                     for ci in range(3)]
+                t2 = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
+                energy = -0.5 * t2
+                w_s2 = (pts[0][3] * sv[0] * sv[0]
+                        + pts[1][3] * sv[1] * sv[1]
+                        + pts[2][3] * sv[2] * sv[2]
+                        + pts[3][3] * sv[3] * sv[3])
+                kk = w_s2 * t2 + alpha_b[fam]
+                valid = jnp.abs(kk) > 1e-9
+                dlam = jnp.where(valid,
+                                 -(energy + alpha_b[fam] * lams[fam])
+                                 / jnp.where(valid, kk, 1.0), 0.0) * m
+                lams[fam] = lams[fam] + dlam
+                for ci in range(3):
+                    dt_p = dlam * t[ci]
+                    for j in range(4):
+                        accs[ci] = _blend_scatter(
+                            accs[ci], -pts[j][3] * sv[j] * dt_p,
+                            spec["pts"][j], par)
+            xc = [xci + icb * acc for xci, acc in zip(xc, accs)]
 
-                accs = [jnp.zeros_like(xc[0]) for _j in range(3)]
-                for fam in ("bh", "bv", "bd"):
-                    parts, lams[fam] = bending_family(
-                        xc, w, lams[fam], fam, sv_all[fam], hp)
-                    accs = scatter_bending(accs, parts)
-                xc = [xci + icb * acc for xci, acc in zip(xc, accs)]
-
-            vc = [jnp.where(w > 0.0, (xci - oldi) * inv_h, vci)
-                  for xci, oldi, vci in zip(xc, old, vc)]
-            if damping:
-                vc = [vci * (1.0 - damping) for vci in vc]
-            return (tuple(xc), tuple(vc))
-
-        # fori_loop keeps the Mosaic program one substep long (a static
-        # 5x unroll blew compile time through the roof)
-        xc, vc = jax.lax.fori_loop(0, substeps, substep_body,
-                                   (tuple(xc), tuple(vc)))
+        # -- first-order velocity reconstruction (TimeIntegration.cpp:42-51)
+        vc = [jnp.where(w > 0.0, (xci - oldi) * inv_h, vci)
+              for xci, oldi, vci in zip(xc, old, vc)]
+        if damping:
+            vc = [vci * (1.0 - damping) for vci in vc]
 
         oxx_ref[:], oxy_ref[:], oxz_ref[:] = xc
         ovx_ref[:], ovy_ref[:], ovz_ref[:] = vc
 
-    plane = jax.ShapeDtypeStruct((h_grid, w_grid), jnp.float32)
+    plane = jax.ShapeDtypeStruct((hp_pad, wp_pad), jnp.float32)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     interpret = jax.default_backend() != "tpu"
-    s_args = svecs["bh"] + svecs["bv"] + svecs["bd"]
-    call = pl.pallas_call(
+    substep_call = pl.pallas_call(
         kernel,
         out_shape=(plane,) * 6,
-        in_specs=[vmem] * (10 + len(s_args)),
+        in_specs=[vmem] * 9,
         out_specs=(vmem,) * 6,
         interpret=interpret,
     )
 
-    w_plane = jnp.asarray(inv_mass, jnp.float32).reshape(h_grid, w_grid)
-    icd_plane = jnp.asarray(inv_cnt_dist, jnp.float32).reshape(h_grid,
-                                                               w_grid)
-    icb_plane = jnp.asarray(inv_cnt_bend, jnp.float32).reshape(h_grid,
-                                                               w_grid)
+    def _pad_plane(a):
+        a = np.asarray(a, np.float32).reshape(h_grid, w_grid)
+        out = np.zeros((hp_pad, wp_pad), np.float32)
+        out[:h_grid, :w_grid] = a
+        return jnp.asarray(out)
+
+    w_plane = _pad_plane(inv_mass)
+    icd_plane = _pad_plane(inv_cnt_dist)
+    icb_plane = _pad_plane(inv_cnt_bend)
+
+    pad_h = hp_pad - h_grid
+    pad_w = wp_pad - w_grid
 
     @jax.jit
     def step(x, v):
         xp = x.reshape(h_grid, w_grid, 3)
         vp = v.reshape(h_grid, w_grid, 3)
-        outs = call(xp[..., 0], xp[..., 1], xp[..., 2],
-                    vp[..., 0], vp[..., 1], vp[..., 2],
-                    w_plane, icd_plane, icb_plane, hp_host, *s_args)
-        x_out = jnp.stack(outs[0:3], axis=-1).reshape(-1, 3)
-        v_out = jnp.stack(outs[3:6], axis=-1).reshape(-1, 3)
+        planes = [jnp.pad(p[..., ci], ((0, pad_h), (0, pad_w)))
+                  for p in (xp, vp) for ci in range(3)]
+
+        def body(carry, _):
+            outs = substep_call(*carry, w_plane, icd_plane, icb_plane)
+            return tuple(outs), None
+
+        outs, _ = jax.lax.scan(body, tuple(planes), None, length=substeps)
+        x_out = jnp.stack([o[:h_grid, :w_grid] for o in outs[0:3]],
+                          axis=-1).reshape(-1, 3)
+        v_out = jnp.stack([o[:h_grid, :w_grid] for o in outs[3:6]],
+                          axis=-1).reshape(-1, 3)
         return x_out, v_out
 
     return step

@@ -211,15 +211,19 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
         lams[f"joint{k}"] = jb.init_lambda()
     for k, db in enumerate(cset.direct_rods):
         lams[f"direct_rod{k}"] = db.init_lambda()
-    if cset.grid_cloths and cfg.solver_mode == "gauss_seidel":
+    if (cset.grid_cloths or cset.grid_tets) \
+            and cfg.solver_mode == "gauss_seidel":
         raise ValueError(
-            "structured grid cloth supports the jacobi solver mode only; "
-            "build with SceneBuilder(use_structured_grid=False) for "
-            "gauss_seidel parity runs")
+            "structured grid cloth/tet batches support the jacobi solver "
+            "mode only; build with SceneBuilder(use_structured_grid=False) "
+            "for gauss_seidel parity runs")
     for _ in range(cfg.max_iterations):
         for gi, gc in enumerate(cset.grid_cloths):
             x, lams[f"grid_cloth{gi}"] = gc.project(
                 x, inv_mass, lams[f"grid_cloth{gi}"], dt, cfg.jacobi_omega)
+        for gi, gt in enumerate(cset.grid_tets):
+            x, lams[f"grid_tet{gi}"] = gt.project(
+                x, inv_mass, lams[f"grid_tet{gi}"], dt, cfg.jacobi_omega)
         for name, batch in cset.particle_batches():
             x, lams[name] = _project_particle_batch(
                 x, inv_mass, batch, lams[name], dt, cfg, cset, name

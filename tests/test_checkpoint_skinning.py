@@ -68,12 +68,8 @@ def test_face_and_vertex_normals():
         face_normals, regular_triangle_grid, vertex_normals)
 
     x, faces = regular_triangle_grid(5, 4, scale=(1.0, 1.0))
-    # builder grids live in a vertical plane in some conventions; force xy
     x = np.asarray(x, np.float32)
-    if np.allclose(x[:, 2], x[0, 2]):
-        pass  # already planar in z
-    else:
-        x = np.stack([x[:, 0], x[:, 1], np.zeros(len(x))], 1).astype(np.float32)
+    assert np.allclose(x[:, 2], 0.0)   # builder grids are z=0 planar
     x = jnp.asarray(x)
     fn = np.asarray(face_normals(x, jnp.asarray(faces)))
     vn = np.asarray(vertex_normals(x, jnp.asarray(faces)))

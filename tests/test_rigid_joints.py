@@ -53,8 +53,6 @@ def test_ball_joint_energy_sane():
     d = b.add_rigid_body((1.0, 0.0, 0.0), mass=1.0, inertia=(0.1, 0.1, 0.1))
     b.add_ball_joint(s, d, (0.0, 0.0, 0.0))
     state, cset = b.build()
-    _, traj = jax.jit(
-        lambda st: rollout(st, cset, CFG, 300, collect=False))(state), None
     st = state
     fn = make_step_fn(cset, CFG)
     ys = []

@@ -30,12 +30,15 @@ def pile_scene():
                       max_sdf_resolution=14)
 
 
-def test_pile_scene_loads(pile_scene):
+def test_pile_scene_loads_partially(pile_scene):
+    """28 of the scene's 34 bodies load: 25 static cylinders + 1 floor +
+    2 dynamic bunnies. The 6 armadillo bodies reference armadillo.obj,
+    which the reference repo does not ship, and are skipped exactly as the
+    reference demo skips load failures (SceneLoaderDemo.cpp:474-475)."""
     s = pile_scene
-    # 25 static cylinders + 1 static floor load; the 6 armadillo bodies
-    # reference a mesh absent from the repo and are skipped like the
-    # reference demo does; 2 dynamic bunnies with baked SDFs remain
     assert len(s.rigid_ids) == 28
+    assert len(s.skipped_bodies) == 6
+    assert all("armadillo" in path for _, path in s.skipped_bodies)
     inv_m = np.asarray(s.state.rigid.inv_mass)
     assert (inv_m > 0).sum() == 2          # the two bunnies
     assert s.pipeline is not None and s.pipeline.active
