@@ -66,6 +66,49 @@ def bench_mpc(args):
     }))
 
 
+def bench_bar(args):
+    """BarDemo-class metric (BASELINE config 2, ``Demos/BarDemo/main.cpp``):
+    a regular XPBD FEM tet bar cantilever at ~100k particles via the
+    structured tet-grid path (``solver/grid_tet.py``), reference solver
+    budget (5 substeps x 1 iteration, dt=0.005). XPBD stiffness preset
+    1e5 as in the demo's XPBD method."""
+    import jax
+    import numpy as _np
+    from positionbaseddynamics_tpu.models import SceneBuilder
+    from positionbaseddynamics_tpu.solver import StepConfig, rollout
+
+    w, h, d = args.bar_dims
+    b = SceneBuilder()
+    tm = b.add_regular_tet_model(w, h, d, scale=(4.0, 1.0, 1.0))
+    for j in range(h):          # pin the i=0 face (cantilever)
+        for k in range(d):
+            b.set_mass(tm.offset + j * d + k, 0.0)
+    b.add_solid_constraints(tm, method=3, stiffness=1e5, poisson_ratio=0.3)
+    state, cset = b.build()
+    assert cset.grid_tets, "structured tet path not engaged"
+    cfg = StepConfig()
+
+    chunk = jax.jit(
+        lambda s: rollout(s, cset, cfg, args.steps_per_call)[0])
+    state = jax.block_until_ready(chunk(state))     # compile + probe
+    if not _np.isfinite(_np.asarray(state.particles.x)).all():
+        raise FloatingPointError("bar probe produced non-finite x")
+    t0 = time.perf_counter()
+    for _ in range(args.calls):
+        state = chunk(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    steps = args.calls * args.steps_per_call
+    steps_per_s = steps / dt
+    print(json.dumps({
+        "metric": f"xpbd_fem_bar_{w * h * d // 1000}k_steps_per_s",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / 60.0, 3),
+        "path": "grid_tet",
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=320)
@@ -87,9 +130,18 @@ def main():
     ap.add_argument("--pallas", dest="pallas", action="store_true",
                     default=None,
                     help="force the fused Pallas substep kernel "
-                         "(solver/grid_cloth_pallas.py) for the timed loop")
+                         "(solver/grid_cloth_pallas.py) for the timed loop "
+                         "(the default when the scene supports it)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="force the jnp structured-grid path")
+    ap.add_argument("--bar", action="store_true",
+                    help="benchmark the BarDemo workload instead: regular "
+                         "XPBD FEM tet bar via the structured tet-grid "
+                         "path (BASELINE config 2)")
+    ap.add_argument("--bar-dims", type=int, nargs=3, default=(80, 36, 36),
+                    metavar=("W", "H", "D"),
+                    help="tet bar vertex grid (default 80x36x36 = 103k "
+                         "particles)")
     ap.add_argument("--donate", action="store_true",
                     help="attempt buffer donation of the state (known to "
                          "fail with INVALID_ARGUMENT on tunneled axon "
@@ -98,6 +150,8 @@ def main():
 
     if args.mpc:
         return bench_mpc(args)
+    if args.bar:
+        return bench_bar(args)
 
     import jax
     import jax.numpy as jnp
@@ -116,13 +170,13 @@ def main():
     def chunk(s):
         return rollout(s, cset, cfg, args.steps_per_call)[0]
 
-    # Fused Pallas substep kernel (docs/PERF.md "next lever 1"): one
-    # launch per sim step with state resident in VMEM. OPT-IN ONLY:
-    # on this image's tunneled axon backend the Mosaic compile of the
-    # fused kernel hangs indefinitely (observed 2026-08-21; a killed
-    # compile also wedges the tunnel), so the default stays on the
-    # known-good jnp structured-grid path.
-    if args.pallas:
+    # Fused Pallas substep kernel (docs/PERF.md): row-block grid with
+    # halo margins, one launch per substep, ~8x the jnp grid path on the
+    # bench chip. Default path (auto-fallback to jnp if unsupported);
+    # --no-pallas forces the jnp structured-grid path. --batch maps to
+    # the kernel's batched-rollout grid (the jnp path's vmap, by
+    # contrast, blows XLA compile time past 400 s even at batch=2).
+    if args.pallas is not False:
         import sys
 
         import numpy as _np
@@ -130,45 +184,47 @@ def main():
         from positionbaseddynamics_tpu.solver.grid_cloth_pallas import (
             make_pallas_cloth_step)
 
-        for flag in ("batch", "donate", "profile", "timers"):
+        for flag in ("donate", "profile", "timers"):
             val = getattr(args, flag)
             if val not in (None, False, 1):
-                print(f"warning: --{flag} is ignored on the --pallas path",
+                print(f"warning: --{flag} is ignored on the pallas path",
                       file=sys.stderr)
 
         gc = cset.grid_cloths[0]
-        pstep = make_pallas_cloth_step(
+        pallas_chunk = make_pallas_cloth_step(
             gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
             dt=cfg.dt, substeps=cfg.substeps,
-            max_iterations=cfg.max_iterations)
+            max_iterations=cfg.max_iterations, n_batch=args.batch,
+            n_steps=args.steps_per_call)
 
-        @jax.jit
-        def pallas_chunk(xv):
-            def body(c, _):
-                return pstep(*c), None
-            out, _ = jax.lax.scan(body, xv, None,
-                                  length=args.steps_per_call)
-            return out
-
-        xv = (state.particles.x, state.particles.v)
-        xv = jax.block_until_ready(pallas_chunk(xv))   # compile+probe
+        x, v = state.particles.x, state.particles.v
+        if args.batch > 1:
+            x = jnp.broadcast_to(x, (args.batch,) + x.shape)
+            v = jnp.broadcast_to(v, (args.batch,) + v.shape)
+        xv = jax.block_until_ready(pallas_chunk(x, v))   # compile+probe
         if not _np.isfinite(_np.asarray(xv[0])).all():
             raise FloatingPointError("pallas probe produced non-finite x")
         t0 = time.perf_counter()
         for _ in range(args.calls):
-            xv = pallas_chunk(xv)
+            xv = pallas_chunk(*xv)
         jax.block_until_ready(xv)
         dt = time.perf_counter() - t0
         steps = args.calls * args.steps_per_call
         steps_per_s = steps / dt
-        print(json.dumps({
+        out = {
             "metric": f"xpbd_cloth_"
-                      f"{args.width * args.height // 1000}k_steps_per_s",
+                      f"{args.width * args.height // 1000}k_steps_per_s"
+                      + (f"_b{args.batch}" if args.batch > 1 else ""),
+            # per-rollout rate — the north-star number (≥60 steps/s per
+            # rollout, BASELINE.json); NOT multiplied by batch
             "value": round(steps_per_s, 2),
             "unit": "steps/s",
             "vs_baseline": round(steps_per_s / 60.0, 3),
             "path": "pallas_fused",
-        }))
+        }
+        if args.batch > 1:
+            out["aggregate_steps_per_s"] = round(steps_per_s * args.batch, 2)
+        print(json.dumps(out))
         return
 
     # NOTE: default has no donate_argnums — buffer donation triggers an

@@ -2,37 +2,45 @@
 
 SURVEY §7 step 12: one kernel launch per *substep* that runs the whole
 XPBD update — integrate → 3 distance families → 3 isometric-bending
-families → velocity update — with the cloth state resident in VMEM, so
-each substep costs one HBM read of (x, v) and one write instead of the
-~30 separate fused-elementwise passes (each a full HBM round trip) of
-the jnp path in ``solver/grid_cloth.py``.
+families → velocity update — with each row-block of the cloth resident
+in VMEM, so a substep costs one HBM read of (x, v) windows and one
+write instead of the ~30 separate fused-elementwise passes (each a full
+HBM round trip) of the jnp path in ``solver/grid_cloth.py``.
 
-TPU-native layout rules (the first version of this kernel violated all
-three and hung the Mosaic compiler):
+TPU-native layout rules (the first version of this kernel violated
+them all and hung the Mosaic compiler; the second held the full
+320×384 plane set in VMEM and overflowed the 16 MB scoped limit):
 
 * **Aligned planes.** Positions/velocities are (H, W) component planes
-  zero-padded to (Hp, Wp) = (⌈H/8⌉·8, ⌈W/128⌉·128) so every operand is
-  tile-aligned; a trailing dim of 3 would waste 42× of each (8, 128)
-  float32 tile.
-* **Rolls, not slices.** Neighbor access and the Jacobi scatter-back are
-  circular shifts (``pltpu.roll``) of full planes plus validity masks —
-  never sub-plane slice reads or ``.at[1:-1, :-1].add()`` masked stores,
-  which Mosaic lowers to per-row masked ops with explosive compile cost.
-* **Masks from iota.** Constraint-family validity and the triangulation
-  parity ``helper(i,j) = (i%2 == j%2)``
+  zero-padded to lane/sublane multiples — a trailing dim of 3 would
+  waste 42× of each (8, 128) float32 tile.
+* **Row-block grid + halo.** The kernel runs on a 1-D grid of row
+  blocks. Inputs stay in HBM (``memory_space=ANY``) and each grid step
+  DMAs its block window *plus a halo margin* into VMEM scratch; one
+  projection iteration has an influence radius of 3 rows (distance ±1
+  then bending ±2), so ``halo = 8·⌈(3·iters+1)/8⌉`` rows of redundant
+  compute make block results exactly equal to the full-plane result.
+  Outputs use ordinary blocked VMEM specs (disjoint row blocks).
+* **Rolls, not slices.** Neighbor access and the Jacobi scatter-back
+  are circular shifts (``pltpu.roll``) of whole planes plus validity
+  masks — never sub-plane slice reads or ``.at[1:-1, :-1].add()``
+  masked stores, which Mosaic lowers to per-row masked ops with
+  explosive compile cost. Wrapped rows land in the discarded halo.
+* **Masks from iota.** Constraint-family validity and the
+  triangulation parity ``helper(i,j) = (i%2 == j%2)``
   (``SimulationModel.cpp:831-903``) are computed in-kernel from
-  ``broadcasted_iota`` — no mask planes travel through HBM.
+  ``broadcasted_iota`` offset by the block's absolute row — no mask
+  planes travel through HBM.
 
-Semantics are identical to ``GridClothBatch.project`` + the substep loop
-of ``solver/step.py`` (asserted in ``tests/test_grid_cloth_pallas.py``):
-XPBD compliance per ``XPBD.cpp:14-60`` (distance) and ``XPBD.cpp:153-213``
-(rank-1 factored isometric bending), λ reset each substep
+Semantics are identical to ``GridClothBatch.project`` + the substep
+loop of ``solver/step.py`` (asserted in
+``tests/test_grid_cloth_pallas.py``): XPBD compliance per
+``XPBD.cpp:14-60`` (distance) and ``XPBD.cpp:153-213`` (rank-1
+factored isometric bending), λ reset each substep
 (``Constraints.cpp:1240-1241``), Jacobi averaging with the build-time
 count denominators.
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -122,15 +130,29 @@ _BEND = {
                    [("p", (1, 0)), ("q", (1, 1))]]},
 }
 
+_N_IN = 9  # xx xy xz vx vy vz w icd icb
+
 
 def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
                            inv_cnt_bend, *, dt: float, substeps: int,
                            max_iterations: int = 1,
                            gravity=(0.0, -9.81, 0.0),
-                           damping: float = 0.0):
-    """Build ``step(x (N, 3), v (N, 3)) -> (x, v)``: a scan of ``substeps``
-    fused Pallas substep kernels. Requires a uniform-parameter grid batch
-    covering particles ``[0, H*W)`` (the headline bench scene shape)."""
+                           damping: float = 0.0,
+                           block_rows: int = 64,
+                           n_batch: int = 1,
+                           n_steps: int = 1):
+    """Build ``step(x (N, 3), v (N, 3)) -> (x, v)``: one flat scan of
+    ``n_steps·substeps`` fused Pallas substep kernels. Requires a
+    uniform-parameter grid batch covering particles ``[0, H*W)`` (the
+    headline bench scene shape). For a pure grid-cloth scene a step
+    boundary adds nothing over a substep boundary (no per-step collision
+    pass), so ``n_steps > 1`` advances whole rollout chunks per call.
+
+    ``n_batch > 1`` builds the batched-rollout variant
+    ``step(x (B, N, 3), v (B, N, 3))`` — the kernel grid gains a leading
+    batch dimension (one extra DMA index), which is how the north-star
+    *4096 parallel rollouts* workload maps onto a chip: all rollouts
+    share the masks/parameters; only state is batched."""
     h_grid, w_grid = batch.height, batch.width
     if batch.offset != 0:
         raise NotImplementedError("pallas cloth kernel expects offset 0")
@@ -139,8 +161,13 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
     if not (batch.xpbd_distance and batch.xpbd_bending):
         raise NotImplementedError("XPBD families only")
 
-    hp_pad = _round_up(h_grid, 8)
     wp_pad = _round_up(w_grid, 128)
+    br = min(block_rows, _round_up(h_grid, 8))
+    hp_pad = _round_up(h_grid, br)          # content rows, in whole blocks
+    halo = _round_up(3 * max_iterations + 1, 8)
+    h_tot = hp_pad + 2 * halo               # stored rows incl. margins
+    h_win = br + 2 * halo                   # VMEM window rows
+    n_blocks = hp_pad // br
 
     rest = {f: _family_rest(batch, f) for f in ("h", "v", "d")}
     stiff = {f: float(batch.stiff[f]) for f in ("h", "v", "d")}
@@ -156,13 +183,13 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
     gx, gy, gz = (float(g) for g in gravity)
 
     def _roll(p, shift, axis):
-        # pltpu.roll requires a non-negative shift; wrap (circular)
-        size = (hp_pad, wp_pad)[axis]
+        # pltpu.roll requires a non-negative shift; wrap (circular —
+        # wrapped rows/lanes are masked or land in the discarded halo)
+        size = (h_win, wp_pad)[axis]
         return pltpu.roll(p, shift % size, axis)
 
     def _shift(p, di, dj):
-        """Plane whose (i, j) entry is p[i+di, j+dj] (circular; callers
-        mask the wrapped rows/cols)."""
+        """Plane whose (i, j) entry is p[i+di, j+dj]."""
         if di:
             p = _roll(p, -di, 0)
         if dj:
@@ -201,57 +228,78 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
 
     def _fam_mask(spec, i_idx, j_idx):
         mi, mj = spec
-        m = None
-
-        def _and(m, cond):
-            return cond if m is None else m & cond
         if mi == "i<=H-1":
-            m = _and(m, i_idx <= h_grid - 1)
+            m = (i_idx >= 0) & (i_idx <= h_grid - 1)
         elif mi == "i<=H-2":
-            m = _and(m, i_idx <= h_grid - 2)
+            m = (i_idx >= 0) & (i_idx <= h_grid - 2)
         else:  # "1<=i<=H-2"
-            m = _and(m, (i_idx >= 1) & (i_idx <= h_grid - 2))
+            m = (i_idx >= 1) & (i_idx <= h_grid - 2)
         if mj == "j<=W-1":
-            m = _and(m, j_idx <= w_grid - 1)
+            m &= j_idx <= w_grid - 1
         elif mj == "j<=W-2":
-            m = _and(m, j_idx <= w_grid - 2)
+            m &= j_idx <= w_grid - 2
         else:  # "1<=j<=W-2"
-            m = _and(m, (j_idx >= 1) & (j_idx <= w_grid - 2))
+            m &= (j_idx >= 1) & (j_idx <= w_grid - 2)
         return m.astype(jnp.float32)
 
-    def kernel(xx_ref, xy_ref, xz_ref, vx_ref, vy_ref, vz_ref, w_ref,
-               icd_ref, icb_ref,
-               oxx_ref, oxy_ref, oxz_ref, ovx_ref, ovy_ref, ovz_ref):
-        i_idx = jax.lax.broadcasted_iota(jnp.int32, (hp_pad, wp_pad), 0)
-        j_idx = jax.lax.broadcasted_iota(jnp.int32, (hp_pad, wp_pad), 1)
+    def kernel(xx_hbm, xy_hbm, xz_hbm, vx_hbm, vy_hbm, vz_hbm,
+               w_hbm, icd_hbm, icb_hbm,
+               oxx_ref, oxy_ref, oxz_ref, ovx_ref, ovy_ref, ovz_ref,
+               *scratch):
+        bufs = scratch[:_N_IN]
+        sems = scratch[_N_IN]
+        if n_batch > 1:
+            bb = pl.program_id(0)           # rollout index
+            r0 = pl.program_id(1) * br      # window start in stored rows
+        else:
+            bb = None
+            r0 = pl.program_id(0) * br
+
+        def _window(hbm, s):
+            # state inputs carry the rollout axis; w/icd/icb are shared
+            if bb is not None and s < 6:
+                return hbm.at[bb, pl.ds(r0, h_win), :]
+            return hbm.at[pl.ds(r0, h_win), :]
+
+        copies = [pltpu.make_async_copy(
+            _window(hbm, s), bufs[s], sems.at[s])
+            for s, hbm in enumerate((xx_hbm, xy_hbm, xz_hbm, vx_hbm,
+                                     vy_hbm, vz_hbm, w_hbm, icd_hbm,
+                                     icb_hbm))]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        # absolute CONTENT row of local row l: r0 + l - halo
+        i_idx = (jax.lax.broadcasted_iota(jnp.int32, (h_win, wp_pad), 0)
+                 + (r0 - halo))
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (h_win, wp_pad), 1)
         # helper(i,j) = (i%2 == j%2), SimulationModel.cpp:831-903 parity
         par = ((i_idx & 1) == (j_idx & 1)).astype(jnp.float32)
-        masks = {f: _fam_mask(_DIST[f]["mask"], i_idx, j_idx) for f in _DIST}
-        masks.update({f: _fam_mask(_BEND[f]["mask"], i_idx, j_idx)
-                      for f in _BEND})
 
-        w = w_ref[:]
+        w = bufs[6][:]
         dyn = (w > 0.0).astype(jnp.float32)
-        xc = [xx_ref[:], xy_ref[:], xz_ref[:]]
-        vc = [vx_ref[:], vy_ref[:], vz_ref[:]]
+        xc = [bufs[0][:], bufs[1][:], bufs[2][:]]
+        vc = [bufs[3][:], bufs[4][:], bufs[5][:]]
+        icd = bufs[7][:]
+        icb = bufs[8][:]
 
         # -- semi-implicit Euler (gravity only), static particles frozen
         old = list(xc)
         vc = [vci + (h_sub * gci) * dyn for vci, gci in zip(vc, (gx, gy, gz))]
         xc = [xci + h_sub * dyn * vci for xci, vci in zip(xc, vc)]
 
-        lams = {f: jnp.zeros((hp_pad, wp_pad), jnp.float32)
+        lams = {f: jnp.zeros((h_win, wp_pad), jnp.float32)
                 for f in ("h", "v", "d", "bh", "bv", "bd")}
-        icd = icd_ref[:]
-        icb = icb_ref[:]
 
         for _i in range(max_iterations):
             # ---- distance families (XPBD.cpp:14-60) ----
-            accs = [jnp.zeros((hp_pad, wp_pad), jnp.float32)
+            accs = [jnp.zeros((h_win, wp_pad), jnp.float32)
                     for _j in range(3)]
             for fam in ("h", "v", "d"):
                 spec = _DIST[fam]
-                m = masks[fam]
+                m = _fam_mask(spec["mask"], i_idx, j_idx)
                 pa = _blend_gather(xc + [w], spec["a"], par)
                 pb = _blend_gather(xc + [w], spec["b"], par)
                 wa, wb = pa[3], pb[3]
@@ -277,27 +325,30 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
 
             # ---- isometric-bending families (XPBD.cpp:153-213, rank-1
             # factored: t = Σⱼ Sⱼxⱼ, C = −½|t|², ∇ⱼ = −Sⱼt) ----
-            accs = [jnp.zeros((hp_pad, wp_pad), jnp.float32)
+            accs = [jnp.zeros((h_win, wp_pad), jnp.float32)
                     for _j in range(3)]
             for fam in ("bh", "bv", "bd"):
                 spec = _BEND[fam]
-                m = masks[fam]
+                m = _fam_mask(spec["mask"], i_idx, j_idx)
                 se, so = svec[fam]
                 # stencils alternate between two congruence classes with
                 # the triangulation parity of the constraint cell
                 sv = [par * sej + (1.0 - par) * soj
                       for sej, soj in zip(se, so)]
-                pts = [_blend_gather(xc + [w], blend, par)
-                       for blend in spec["pts"]]           # 4 × [x,y,z,w]
-                t = [sv[0] * pts[0][ci] + sv[1] * pts[1][ci]
-                     + sv[2] * pts[2][ci] + sv[3] * pts[3][ci]
-                     for ci in range(3)]
+                # stream over the 4 stencil points: accumulate t and the
+                # w·S² sum without keeping 4×4 gathered planes live
+                t = [jnp.zeros((h_win, wp_pad), jnp.float32)
+                     for _c in range(3)]
+                ws4 = []
+                for j4, blend in enumerate(spec["pts"]):
+                    g4 = _blend_gather(xc + [w], blend, par)
+                    for ci in range(3):
+                        t[ci] = t[ci] + sv[j4] * g4[ci]
+                    ws4.append(g4[3])
                 t2 = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
                 energy = -0.5 * t2
-                w_s2 = (pts[0][3] * sv[0] * sv[0]
-                        + pts[1][3] * sv[1] * sv[1]
-                        + pts[2][3] * sv[2] * sv[2]
-                        + pts[3][3] * sv[3] * sv[3])
+                w_s2 = (ws4[0] * sv[0] * sv[0] + ws4[1] * sv[1] * sv[1]
+                        + ws4[2] * sv[2] * sv[2] + ws4[3] * sv[3] * sv[3])
                 kk = w_s2 * t2 + alpha_b[fam]
                 valid = jnp.abs(kk) > 1e-9
                 dlam = jnp.where(valid,
@@ -306,10 +357,10 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
                 lams[fam] = lams[fam] + dlam
                 for ci in range(3):
                     dt_p = dlam * t[ci]
-                    for j in range(4):
+                    for j4 in range(4):
                         accs[ci] = _blend_scatter(
-                            accs[ci], -pts[j][3] * sv[j] * dt_p,
-                            spec["pts"][j], par)
+                            accs[ci], -ws4[j4] * sv[j4] * dt_p,
+                            spec["pts"][j4], par)
             xc = [xci + icb * acc for xci, acc in zip(xc, accs)]
 
         # -- first-order velocity reconstruction (TimeIntegration.cpp:42-51)
@@ -318,19 +369,41 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         if damping:
             vc = [vci * (1.0 - damping) for vci in vc]
 
-        oxx_ref[:], oxy_ref[:], oxz_ref[:] = xc
-        ovx_ref[:], ovy_ref[:], ovz_ref[:] = vc
+        for ref, plane in zip((oxx_ref, oxy_ref, oxz_ref,
+                               ovx_ref, ovy_ref, ovz_ref), xc + vc):
+            if n_batch > 1:
+                ref[0] = plane[halo:halo + br, :]
+            else:
+                ref[:] = plane[halo:halo + br, :]
 
-    plane = jax.ShapeDtypeStruct((hp_pad, wp_pad), jnp.float32)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if n_batch > 1:
+        grid = (n_batch, n_blocks)
+        out_plane = jax.ShapeDtypeStruct((n_batch, hp_pad, wp_pad),
+                                         jnp.float32)
+        out_spec = pl.BlockSpec((1, br, wp_pad), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (n_blocks,)
+        out_plane = jax.ShapeDtypeStruct((hp_pad, wp_pad), jnp.float32)
+        out_spec = pl.BlockSpec((br, wp_pad), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
     interpret = jax.default_backend() != "tpu"
     substep_call = pl.pallas_call(
         kernel,
-        out_shape=(plane,) * 6,
-        in_specs=[vmem] * 9,
-        out_specs=(vmem,) * 6,
+        grid=grid,
+        out_shape=(out_plane,) * 6,
+        in_specs=[any_spec] * _N_IN,
+        out_specs=(out_spec,) * 6,
+        scratch_shapes=[pltpu.VMEM((h_win, wp_pad), jnp.float32)] * _N_IN
+        + [pltpu.SemaphoreType.DMA((_N_IN,))],
         interpret=interpret,
     )
+
+    def _pad_margins(p):
+        # content -> stored rows with halo margins (row axis is -2)
+        pad = [(0, 0)] * (p.ndim - 2) + [(halo, halo), (0, 0)]
+        return jnp.pad(p, pad)
 
     def _pad_plane(a):
         a = np.asarray(a, np.float32).reshape(h_grid, w_grid)
@@ -338,29 +411,43 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         out[:h_grid, :w_grid] = a
         return jnp.asarray(out)
 
-    w_plane = _pad_plane(inv_mass)
-    icd_plane = _pad_plane(inv_cnt_dist)
-    icb_plane = _pad_plane(inv_cnt_bend)
+    w_plane = _pad_margins(_pad_plane(inv_mass))
+    icd_plane = _pad_margins(_pad_plane(inv_cnt_dist))
+    icb_plane = _pad_margins(_pad_plane(inv_cnt_bend))
 
     pad_h = hp_pad - h_grid
     pad_w = wp_pad - w_grid
 
-    @jax.jit
-    def step(x, v):
-        xp = x.reshape(h_grid, w_grid, 3)
-        vp = v.reshape(h_grid, w_grid, 3)
-        planes = [jnp.pad(p[..., ci], ((0, pad_h), (0, pad_w)))
-                  for p in (xp, vp) for ci in range(3)]
+    def _make_chunk(n_sub_calls):
+        """x, v -> planes -> one flat scan of ``n_sub_calls`` substep
+        kernels -> x, v. One pad in, one unpad out; the scan carry stays
+        in plane layout (wrapping the repack in an outer scan instead
+        sends XLA layout assignment into a tailspin — 400s+ compiles)."""
 
-        def body(carry, _):
-            outs = substep_call(*carry, w_plane, icd_plane, icb_plane)
-            return tuple(outs), None
+        @jax.jit
+        def chunk(x, v):
+            lead = (n_batch,) if n_batch > 1 else ()
+            xp = x.reshape(lead + (h_grid, w_grid, 3))
+            vp = v.reshape(lead + (h_grid, w_grid, 3))
+            zpad = [(0, 0)] * len(lead) + [(0, pad_h), (0, pad_w)]
+            planes = [jnp.pad(p[..., ci], zpad)
+                      for p in (xp, vp) for ci in range(3)]
 
-        outs, _ = jax.lax.scan(body, tuple(planes), None, length=substeps)
-        x_out = jnp.stack([o[:h_grid, :w_grid] for o in outs[0:3]],
-                          axis=-1).reshape(-1, 3)
-        v_out = jnp.stack([o[:h_grid, :w_grid] for o in outs[3:6]],
-                          axis=-1).reshape(-1, 3)
-        return x_out, v_out
+            def body(carry, _):
+                outs = substep_call(*[_pad_margins(p) for p in carry],
+                                    w_plane, icd_plane, icb_plane)
+                return tuple(outs), None
 
-    return step
+            outs, _ = jax.lax.scan(body, tuple(planes), None,
+                                   length=n_sub_calls)
+            x_out = jnp.stack([o[..., :h_grid, :w_grid]
+                               for o in outs[0:3]],
+                              axis=-1).reshape(lead + (-1, 3))
+            v_out = jnp.stack([o[..., :h_grid, :w_grid]
+                               for o in outs[3:6]],
+                              axis=-1).reshape(lead + (-1, 3))
+            return x_out, v_out
+
+        return chunk
+
+    return _make_chunk(n_steps * substeps)

@@ -94,11 +94,23 @@ class GridTetBatch:
     height: int = field(metadata=dict(static=True))
     depth: int = field(metadata=dict(static=True))
     offset: int = field(metadata=dict(static=True))
+    # True = reference inversion semantics, computed the way the
+    # unstructured batch computes them: the SVD energy is evaluated for
+    # every tet and selected where det F ≤ 0. That batched 3×3 SVD
+    # dominates the substep, so the default is False: bar-bending
+    # workloads never invert a tet, and without inversions the two
+    # settings produce bitwise-identical trajectories. (A lax.cond
+    # "only pay when it fires" variant was tried and is ~100× WORSE —
+    # the conditional is a fusion barrier that materializes every
+    # operand plane.)
+    inversion_handling: bool = field(default=False,
+                                     metadata=dict(static=True))
 
     @staticmethod
     def create(width: int, height: int, depth: int, offset: int,
                x0: np.ndarray, stiffness: float,
-               poisson_ratio: float) -> "GridTetBatch":
+               poisson_ratio: float,
+               inversion_handling: bool = False) -> "GridTetBatch":
         """``x0`` is the FULL scene rest-position array; the tet grid
         occupies rows ``offset : offset + W*H*D`` in ``i*H*D + j*D + k``
         order (``regular_tet_grid``)."""
@@ -150,6 +162,7 @@ class GridTetBatch:
                 (1.0 / np.maximum(cnt, 1.0)).reshape(w, h, d, 1),
                 jnp.float32),
             width=w, height=h, depth=d, offset=offset,
+            inversion_handling=bool(inversion_handling),
         )
 
     def init_lambda(self) -> Array:
@@ -158,58 +171,96 @@ class GridTetBatch:
 
     # -- solve ---------------------------------------------------------------
 
-    def _solve_family(self, pts, ws, irm, vol, dt, lam):
+    def _solve_family(self, pts, ws, irm9, vol, dt, lam):
         """Vectorized XPBD FEM-tet solve over all cells of one family —
         math of ``XPBD::solve_FEMTetraConstraint`` (``XPBD.cpp:217-294``)
         with ``C = sqrt(2U')`` factor bookkeeping, exactly as the
-        unstructured kernel ``ops.xpbd.solve_fem_tetra``. ``pts`` 4×(C,3),
-        ``ws`` 4×(C,), ``irm`` (C,3,3), ``vol`` (C,). Returns
-        (4×(C,3) corrections, new λ)."""
-        from ..ops.xpbd import (grad_c_green, green_strain_energy,
-                                green_strain_energy_inversion)
+        unstructured kernel ``ops.xpbd.solve_fem_tetra``.
+
+        TPU layout: the 3×3 algebra (F = Dₛ·Dₘ⁻¹, Green strain, Piola
+        stress, H = V₀σDₘ⁻ᵀ) is fully unrolled over *component planes* —
+        3×3 matrices are Python lists of (C,) arrays, so everything fuses
+        into flat VPU multiply-adds. Batched ``(C, 3, 3)`` matmuls pad
+        the 3-wide dims onto (8, 128) tiles and run ~40× off peak (the
+        first version of this path measured 15 ms/step at 13k vertices).
+
+        ``pts`` 4×[(C,) x, y, z], ``ws`` 4×(C,), ``irm9`` 3×3 list of
+        (C,) (inverse rest matrix), ``vol`` (C,).
+        Returns (4×3 list of (C,) corrections, new λ)."""
         from ..ops.mathutils import EPS, safe_inv
 
-        p0, p1, p2, p3 = pts
         mu = 0.5 / (1.0 + self.poisson)
         lame = self.poisson / ((1.0 + self.poisson)
                                * (1.0 - 2.0 * self.poisson))
 
-        volume = jnp.einsum("cd,cd->c",
-                            jnp.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
-        any_inverted = jnp.any(volume <= 0.0)
+        # edge vectors dᵢ = pᵢ − p₃ as component planes: ds[a][i]
+        ds = [[pts[i][a] - pts[3][a] for i in range(3)] for a in range(3)]
+        # F = D_s · D_m⁻¹  (PositionBasedDynamics.cpp:958-980)
+        f = [[sum(ds[a][c] * irm9[c][b] for c in range(3))
+              for b in range(3)] for a in range(3)]
 
-        def regular(_):
-            u, sig, _f = jax.vmap(
-                green_strain_energy, in_axes=(0, 0, 0, 0, 0, 0, None, None)
-            )(p0, p1, p2, p3, irm, vol, mu, lame)
-            return u, sig
+        # ε = ½(FᵀF − I); symmetric — 6 unique planes
+        def _ftf(a, b):
+            return f[0][a] * f[0][b] + f[1][a] * f[1][b] + f[2][a] * f[2][b]
+        eps = [[0.5 * (_ftf(a, b) - (1.0 if a == b else 0.0))
+                for b in range(3)] for a in range(3)]
+        trace = eps[0][0] + eps[1][1] + eps[2][2]
+        # σ = F(2με + λ tr(ε) I); Ψ = μ‖ε‖² + ½λ tr²  (…cpp:958-1008)
+        two_mu = 2.0 * mu
+        s_in = [[two_mu * eps[a][b] + (lame * trace if a == b else 0.0)
+                 for b in range(3)] for a in range(3)]
+        sigma = [[sum(f[a][c] * s_in[c][b] for c in range(3))
+                  for b in range(3)] for a in range(3)]
+        psi = mu * sum(eps[a][b] * eps[a][b]
+                       for a in range(3) for b in range(3)) \
+            + 0.5 * lame * trace * trace
+        u_prime = vol * psi
 
-        def with_inversion(_):
-            u_reg, sig_reg = regular(None)
+        if self.inversion_handling:
+            # det F ≤ 0 → the reference's SVD path
+            # (computeGreenStrainAndPiolaStressInversion,
+            # PositionBasedDynamics.cpp:1034-1106), computed for every
+            # tet and selected — exactly the unstructured batch's
+            # behavior. Expensive; see the field docstring.
+            from ..ops.xpbd import green_strain_energy_inversion
+            p_vecs = [jnp.stack([pts[i][0], pts[i][1], pts[i][2]], axis=-1)
+                      for i in range(4)]
+            irm_m = jnp.stack(
+                [jnp.stack([irm9[a][b] for b in range(3)], axis=-1)
+                 for a in range(3)], axis=-2)
+            volume = jnp.einsum(
+                "cd,cd->c",
+                jnp.cross(p_vecs[1] - p_vecs[0], p_vecs[2] - p_vecs[0]),
+                p_vecs[3] - p_vecs[0]) / 6.0
             u_inv, sig_inv, _f = jax.vmap(
                 green_strain_energy_inversion,
                 in_axes=(0, 0, 0, 0, 0, 0, None, None)
-            )(p0, p1, p2, p3, irm, vol, mu, lame)
+            )(p_vecs[0], p_vecs[1], p_vecs[2], p_vecs[3],
+              irm_m, vol, mu, lame)
             inv = volume <= 0.0
-            return (jnp.where(inv, u_inv, u_reg),
-                    jnp.where(inv[:, None, None], sig_inv, sig_reg))
+            u_prime = jnp.where(inv, u_inv, u_prime)
+            sigma = [[jnp.where(inv, sig_inv[:, a, b], sigma[a][b])
+                      for b in range(3)] for a in range(3)]
 
-        # the SVD branch only runs when some tet is actually inverted —
-        # bar bending never inverts, so the hot path stays SVD-free
-        u_prime, sigma = jax.lax.cond(any_inverted, with_inversion, regular,
-                                      None)
+        # H = V₀ σ D_m⁻ᵀ; columns are ∇₀..∇₂, ∇₃ = −Σ (computeGradCGreen)
+        grad = [[vol * sum(sigma[a][c] * irm9[b][c] for c in range(3))
+                 for a in range(3)] for b in range(3)]   # grad[j][comp]
+        grad.append([-(grad[0][a] + grad[1][a] + grad[2][a])
+                     for a in range(3)])
 
-        grad_u = jax.vmap(grad_c_green, in_axes=(0, 0, 0))(vol, irm, sigma)
         c = jnp.sqrt(jnp.maximum(2.0 * u_prime, 0.0))
-        ws4 = jnp.stack(ws, axis=1)                       # (C, 4)
-        sum_norm = jnp.sum(ws4 * jnp.sum(grad_u * grad_u, axis=-1), axis=-1)
+        sum_norm = sum(ws[j] * (grad[j][0] * grad[j][0]
+                                + grad[j][1] * grad[j][1]
+                                + grad[j][2] * grad[j][2])
+                       for j in range(4))
         alpha = safe_inv(self.youngs * dt * dt)
         sum_norm = sum_norm + c * c * alpha
         valid = (sum_norm >= EPS) & (self.youngs > 0.0)
         dlam = jnp.where(valid, -c * (c + alpha * lam) * safe_inv(sum_norm),
                          0.0)
-        corr = dlam[:, None, None] * ws4[:, :, None] * grad_u   # (C, 4, 3)
-        return [corr[:, i] for i in range(4)], lam + dlam
+        corrs = [[dlam * ws[j] * grad[j][a] for a in range(3)]
+                 for j in range(4)]
+        return corrs, lam + dlam
 
     def project(self, x: Array, inv_mass: Array, lams, dt,
                 omega: float = 1.0) -> Tuple[Array, Array]:
@@ -222,39 +273,44 @@ class GridTetBatch:
         g = x[o:o + n_blk].reshape(w, h, d, 3)
         wg = inv_mass[o:o + n_blk].reshape(w, h, d)
 
-        corners_x = [g[a:a + wc, b:b + hc, c:c + dc].reshape(-1, 3)
-                     for a, b, c in _CORNERS]
+        # component planes per cell corner: corners_x[corner][comp] (C,)
+        corners_x = [[g[a:a + wc, b:b + hc, c:c + dc, comp].reshape(-1)
+                      for comp in range(3)] for a, b, c in _CORNERS]
         corners_w = [wg[a:a + wc, b:b + hc, c:c + dc].reshape(-1)
                      for a, b, c in _CORNERS]
         ii, jj, kk = np.meshgrid(np.arange(wc), np.arange(hc),
                                  np.arange(dc), indexing="ij")
         odd = jnp.asarray(((ii + jj + kk) % 2 == 1).reshape(-1))
         oddf = odd.astype(jnp.float32)
+        evenf = 1.0 - oddf
 
-        acc = [jnp.zeros((wc * hc * dc, 3), jnp.float32) for _ in range(8)]
+        # acc[corner][comp] (C,)
+        acc = [[jnp.zeros((wc * hc * dc,), jnp.float32) for _c in range(3)]
+               for _k in range(8)]
         new_lams = []
         for t in range(5):
             co = _TETS_ODD[t]
             ce = _TETS_EVEN[t]
-            pts = [oddf[:, None] * corners_x[co[k]]
-                   + (1.0 - oddf[:, None]) * corners_x[ce[k]]
-                   for k in range(4)]
-            ws = [oddf * corners_w[co[k]] + (1.0 - oddf) * corners_w[ce[k]]
+            pts = [[oddf * corners_x[co[k]][a] + evenf * corners_x[ce[k]][a]
+                    for a in range(3)] for k in range(4)]
+            ws = [oddf * corners_w[co[k]] + evenf * corners_w[ce[k]]
                   for k in range(4)]
-            irm = jnp.where(odd[:, None, None],
-                            self.inv_rest_odd[t], self.inv_rest_even[t])
+            irm9 = [[jnp.where(odd, self.inv_rest_odd[t, a, b],
+                               self.inv_rest_even[t, a, b])
+                     for b in range(3)] for a in range(3)]
             vol = jnp.where(odd, self.rest_vol_odd[t], self.rest_vol_even[t])
-            corrs, nl = self._solve_family(pts, ws, irm, vol, dt, lams[t])
+            corrs, nl = self._solve_family(pts, ws, irm9, vol, dt, lams[t])
             new_lams.append(nl)
             for k in range(4):
                 # parity-route the correction back to the two corners
-                acc[co[k]] = acc[co[k]] + oddf[:, None] * corrs[k]
-                acc[ce[k]] = acc[ce[k]] + (1.0 - oddf[:, None]) * corrs[k]
+                for a in range(3):
+                    acc[co[k]][a] = acc[co[k]][a] + oddf * corrs[k][a]
+                    acc[ce[k]][a] = acc[ce[k]][a] + evenf * corrs[k][a]
 
         dx = jnp.zeros((w, h, d, 3), jnp.float32)
         for ci, (a, b, c) in enumerate(_CORNERS):
             dx = dx.at[a:a + wc, b:b + hc, c:c + dc].add(
-                acc[ci].reshape(wc, hc, dc, 3))
+                jnp.stack(acc[ci], axis=-1).reshape(wc, hc, dc, 3))
 
         g = g + omega * self.inv_cnt * dx
         x = jax.lax.dynamic_update_slice(x, g.reshape(-1, 3), (o, 0))

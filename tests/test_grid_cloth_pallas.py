@@ -42,3 +42,36 @@ def test_pallas_step_matches_jnp_path():
     x_pl = np.asarray(x)
     assert np.isfinite(x_pl).all()
     np.testing.assert_allclose(x_pl, x_ref, atol=2e-5)
+
+
+def test_pallas_batched_matches_single():
+    """n_batch>1 variant (2-D kernel grid): each rollout in the batch
+    evolves exactly like the single-rollout kernel."""
+    import jax.numpy as jnp
+    from positionbaseddynamics_tpu.solver.grid_cloth_pallas import (
+        make_pallas_cloth_step)
+
+    state, cset = _build(16)
+    cfg = StepConfig(dt=0.005, substeps=3, max_iterations=1)
+    gc = cset.grid_cloths[0]
+    kw = dict(dt=cfg.dt, substeps=cfg.substeps,
+              max_iterations=cfg.max_iterations)
+    step1 = make_pallas_cloth_step(
+        gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend, **kw)
+    stepb = make_pallas_cloth_step(
+        gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
+        n_batch=3, **kw)
+
+    x1, v1 = state.particles.x, state.particles.v
+    # perturb rollout 2 so the batch is not trivially uniform
+    xs = jnp.stack([x1, x1, x1 + 0.001])
+    vs = jnp.stack([v1, v1, v1])
+    for _ in range(8):
+        x1, v1 = step1(x1, v1)
+        xs, vs = stepb(xs, vs)
+    x1 = np.asarray(x1)
+    xs = np.asarray(xs)
+    assert np.isfinite(xs).all()
+    np.testing.assert_allclose(xs[0], x1, atol=1e-6)
+    np.testing.assert_allclose(xs[1], x1, atol=1e-6)
+    assert np.abs(xs[2] - x1).max() > 1e-5   # perturbed rollout diverged
