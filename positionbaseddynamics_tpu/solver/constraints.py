@@ -811,7 +811,13 @@ class BendTwistBatch:
         qs = np.asarray(q0, np.float64)[idx_q]
         # rest Darboux Ω₀ = q̄0 ⊗ q1 (host-side; cf. ops.rods.rest_darboux)
         conj = qs[:, 0] * np.array([1.0, -1.0, -1.0, -1.0])
-        rest = jnp.asarray(_quat_multiply_np(conj, qs[:, 1]), jnp.float32)
+        rest = _quat_multiply_np(conj, qs[:, 1])
+        # double-cover sign fix at init (Constraints.cpp:2408-2413):
+        # flip Ω₀ when ‖Ω₀ − 1‖² > ‖Ω₀ + 1‖²
+        one = np.array([1.0, 0.0, 0.0, 0.0])
+        flip = (np.sum((rest - one) ** 2, axis=-1)
+                > np.sum((rest + one) ** 2, axis=-1))
+        rest = jnp.asarray(np.where(flip[:, None], -rest, rest), jnp.float32)
         ks = np.broadcast_to(np.asarray(bend_ks, np.float32), (c, 3)).copy()
         return BendTwistBatch(
             idx_q=jnp.asarray(idx_q), rest_darboux=rest,

@@ -81,3 +81,132 @@ def test_parity_deviation_grows_from_exact_start(oracle, tmp_path):
     x_ref = np.loadtxt(out_file)
     np.testing.assert_allclose(
         x_ref, np.asarray(state.particles.x, np.float64), atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Oracle #2: FEM tets, Cosserat rods, rigid ball joints
+# (BASELINE configs 2-3 + joint chain; parity/parity_runner2.cpp)
+# ---------------------------------------------------------------------------
+
+BIN2 = "/tmp/pbd_parity_runner2"
+
+
+def _build_oracle2():
+    srcs = [
+        "parity/parity_runner2.cpp",
+        f"{REF}/PositionBasedDynamics/XPBD.cpp",
+        f"{REF}/PositionBasedDynamics/TimeIntegration.cpp",
+        f"{REF}/PositionBasedDynamics/MathFunctions.cpp",
+        f"{REF}/PositionBasedDynamics/PositionBasedDynamics.cpp",
+        f"{REF}/PositionBasedDynamics/PositionBasedElasticRods.cpp",
+        f"{REF}/PositionBasedDynamics/PositionBasedRigidBodyDynamics.cpp",
+    ]
+    newest = max(os.path.getmtime(s) for s in srcs)
+    if os.path.exists(BIN2) and os.path.getmtime(BIN2) > newest:
+        return BIN2
+    subprocess.run(
+        ["g++", "-std=c++17", "-O2", f"-I{REF}",
+         f"-I{REF}/extern/eigen", "-o", BIN2] + srcs,
+        check=True, capture_output=True)
+    return BIN2
+
+
+@pytest.fixture(scope="module")
+def oracle2():
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not available")
+    return _build_oracle2()
+
+
+def test_fem_tet_bar_matches_reference(oracle2, tmp_path):
+    """BASELINE config 2: XPBD FEM tet bar vs the reference's own
+    XPBD::solve_FEMTetraConstraint (XPBD.cpp:217-294)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from parity.dump_scene import build_fem_tet_bar, dump_femtet
+    from positionbaseddynamics_tpu.solver import StepConfig, rollout
+
+    steps = 50
+    state, cset = build_fem_tet_bar(w=6, h=3, d=3)
+    scene_file = tmp_path / "scene.txt"
+    out_file = tmp_path / "out.txt"
+    dump_femtet(scene_file, state, cset, substeps=5, max_iterations=1,
+                dt=0.005, steps=steps)
+    subprocess.run([oracle2, str(scene_file), str(out_file)], check=True)
+    x_ref = np.loadtxt(out_file)
+
+    cfg = StepConfig(dt=0.005, substeps=5, max_iterations=1,
+                     solver_mode="gauss_seidel")
+    final, _ = jax.jit(lambda s: rollout(s, cset, cfg, steps))(state)
+    x_us = np.asarray(final.particles.x, np.float64)
+    # the bar must actually have sagged (non-trivial trajectory)
+    assert np.abs(x_us - np.asarray(state.particles.x)).max() > 1e-3
+    dev = np.abs(x_us - x_ref).max()
+    assert dev <= 1e-4, f"max position deviation {dev:.2e} > 1e-4"
+
+
+def test_cosserat_rod_matches_reference(oracle2, tmp_path):
+    """BASELINE config 3: Cosserat stretch-shear + bend-twist rod vs
+    PositionBasedCosseratRods (PositionBasedElasticRods.cpp:20-81)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from parity.dump_scene import build_cosserat_rod, dump_rod
+    from positionbaseddynamics_tpu.solver import StepConfig, rollout
+
+    steps = 50
+    state, cset = build_cosserat_rod(n=12)
+    scene_file = tmp_path / "scene.txt"
+    out_file = tmp_path / "out.txt"
+    dump_rod(scene_file, state, cset, substeps=5, max_iterations=1,
+             dt=0.005, steps=steps)
+    subprocess.run([oracle2, str(scene_file), str(out_file)], check=True)
+    rows = [[float(v) for v in ln.split()]
+            for ln in out_file.read_text().splitlines() if ln.strip()]
+    n = np.asarray(state.particles.x).shape[0]
+    x_ref = np.asarray(rows[:n])              # 3 columns
+    q_ref = np.asarray(rows[n:])              # 4 columns
+
+    cfg = StepConfig(dt=0.005, substeps=5, max_iterations=1,
+                     solver_mode="gauss_seidel")
+    final, _ = jax.jit(lambda s: rollout(s, cset, cfg, steps))(state)
+    x_us = np.asarray(final.particles.x, np.float64)
+    q_us = np.asarray(final.orientations.q, np.float64)
+    assert np.abs(x_us - np.asarray(state.particles.x)).max() > 1e-3
+    dev = np.abs(x_us - x_ref).max()
+    assert dev <= 1e-4, f"max position deviation {dev:.2e} > 1e-4"
+    # quaternion double cover: compare up to sign
+    qdev = np.minimum(np.abs(q_us - q_ref),
+                      np.abs(q_us + q_ref)).max()
+    assert qdev <= 1e-4, f"max quaternion deviation {qdev:.2e} > 1e-4"
+
+
+def test_ball_joint_chain_matches_reference(oracle2, tmp_path):
+    """Rigid ball-joint chain vs the reference's
+    PositionBasedRigidBodyDynamics::solve_BallJoint
+    (PositionBasedRigidBodyDynamics.cpp:212-262) with full rigid
+    integration (gyroscopic rotation, world inertia refresh)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from parity.dump_scene import build_balljoint_chain, dump_balljoint
+    from positionbaseddynamics_tpu.solver import StepConfig, rollout
+
+    steps = 50
+    state, cset, builder = build_balljoint_chain(n=4)
+    scene_file = tmp_path / "scene.txt"
+    out_file = tmp_path / "out.txt"
+    dump_balljoint(scene_file, state, builder, substeps=5,
+                   max_iterations=1, dt=0.005, steps=steps)
+    subprocess.run([oracle2, str(scene_file), str(out_file)], check=True)
+    ref = np.loadtxt(out_file)
+    x_ref, q_ref = ref[:, 0:3], ref[:, 3:7]
+
+    cfg = StepConfig(dt=0.005, substeps=5, max_iterations=1,
+                     joint_solver_mode="gauss_seidel")
+    final, _ = jax.jit(lambda s: rollout(s, cset, cfg, steps))(state)
+    x_us = np.asarray(final.rigid.x, np.float64)
+    q_us = np.asarray(final.rigid.q, np.float64)
+    assert np.abs(x_us - np.asarray(state.rigid.x)).max() > 1e-3
+    dev = np.abs(x_us - x_ref).max()
+    assert dev <= 1e-4, f"max position deviation {dev:.2e} > 1e-4"
+    qdev = np.minimum(np.abs(q_us - q_ref), np.abs(q_us + q_ref)).max()
+    assert qdev <= 1e-4, f"max quaternion deviation {qdev:.2e} > 1e-4"
