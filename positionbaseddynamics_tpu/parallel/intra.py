@@ -59,8 +59,10 @@ def make_intra_sharded_step_fn(state: SimState, cset: ConstraintSet,
     if (cset.grid_cloths or cset.joints or cset.stretch_shear is not None
             or cset.bend_twist is not None):
         raise NotImplementedError(
-            "intra-scene sharding prototype supports particle constraint "
-            "families only (build with use_structured_grid=False)")
+            "this generic all_gather path supports unstructured particle "
+            "constraint families only; structured grid cloths shard with "
+            "O(halo) ICI via parallel.intra_grid.make_grid_intra_step_fn "
+            "(build with use_structured_grid=False to force this path)")
     n_dev = mesh.devices.size
     h = cfg.dt / cfg.substeps
     gravity = jnp.asarray(cfg.gravity, jnp.float32)
