@@ -316,44 +316,78 @@ class CollisionPipeline:
             v = pv[sl]
             w = p_inv_mass[sl]
             idx = jnp.arange(pg.offset, pg.offset + pg.count, dtype=jnp.int32)
+            # per-step group bounding sphere (the reference prunes with a
+            # point-cloud bounding-sphere hierarchy,
+            # DistanceFieldCollisionDetection.cpp:26-199; one sphere per
+            # model group is the batched-TPU analogue)
+            center = jnp.mean(x, axis=0)
+            group_r = jnp.sqrt(jnp.max(
+                jnp.sum((x - center) ** 2, axis=-1)))
             for cb in self.rigid_colliders:
-                xl = self._world_to_local(cb, rx, rq, x)
-                dist = cb.shape.distance(xl) - self.tolerance
-                nl = cb.shape.normal(xl)
-                n = self._local_to_world_dir(cb, rq, nl)
-                mask = ((dist < 0.0) & (jnp.sum(n * n, -1) > 0.5)
-                        & ((w > 0.0) | (inv_mass[cb.body] > 0.0)))
-                cp1 = x - dist[:, None] * n
                 k = pg.count
                 b1 = cb.body
-                r1 = cp1 - rx[b1]
-                u_rel = v - (rv[b1] + jnp.cross(rom[b1], r1))
-                u_rel_n = jnp.sum(n * u_rel, -1)
-                t = u_rel - u_rel_n[:, None] * n
-                tl2 = jnp.sum(t * t, -1)
-                t = jnp.where(tl2[:, None] > 1e-6,
-                              t / jnp.sqrt(jnp.maximum(tl2, 1e-30))[:, None], t)
-                kmat = _compute_matrix_k(
-                    r1, jnp.broadcast_to(inv_mass[b1], (k,)),
-                    jnp.broadcast_to(inv_iw[b1], (k, 3, 3)))
-                kmat = kmat + w[:, None, None] * jnp.eye(3)
-                nkn = jnp.einsum("ki,kij,kj->k", n, kmat, n)
-                tkt = jnp.einsum("ki,kij,kj->k", t, kmat, t)
-                nkn_inv = jnp.where(nkn > 1e-9,
-                                    1.0 / jnp.maximum(nkn, 1e-30), 0.0)
-                p_max = jnp.where(
-                    tkt > 1e-9,
-                    jnp.sum(u_rel * t, -1) / jnp.maximum(tkt, 1e-30), 0.0)
-                rest = pg.restitution * cb.restitution
-                goal = jnp.where(u_rel_n < 0.0, -rest * u_rel_n, 0.0)
-                rows.append(ParticleRigidContacts(
-                    particle=idx,
-                    body1=jnp.full((k,), b1, jnp.int32),
-                    cp0=x, cp1=cp1, normal=n, tangent=t,
-                    nkn_inv=nkn_inv, p_max=p_max, goal_u_n=goal,
-                    friction=jnp.broadcast_to(pg.friction + cb.friction, (k,)),
-                    mask=mask.astype(jnp.float32) * (nkn > 1e-9),
-                ))
+
+                def narrow(x=x, v=v, w=w, idx=idx, cb=cb, pg=pg, k=k,
+                           b1=b1):
+                    xl = self._world_to_local(cb, rx, rq, x)
+                    dist = cb.shape.distance(xl) - self.tolerance
+                    nl = cb.shape.normal(xl)
+                    n = self._local_to_world_dir(cb, rq, nl)
+                    mask = ((dist < 0.0) & (jnp.sum(n * n, -1) > 0.5)
+                            & ((w > 0.0) | (inv_mass[b1] > 0.0)))
+                    cp1 = x - dist[:, None] * n
+                    r1 = cp1 - rx[b1]
+                    u_rel = v - (rv[b1] + jnp.cross(rom[b1], r1))
+                    u_rel_n = jnp.sum(n * u_rel, -1)
+                    t = u_rel - u_rel_n[:, None] * n
+                    tl2 = jnp.sum(t * t, -1)
+                    t = jnp.where(
+                        tl2[:, None] > 1e-6,
+                        t / jnp.sqrt(jnp.maximum(tl2, 1e-30))[:, None], t)
+                    kmat = _compute_matrix_k(
+                        r1, jnp.broadcast_to(inv_mass[b1], (k,)),
+                        jnp.broadcast_to(inv_iw[b1], (k, 3, 3)))
+                    kmat = kmat + w[:, None, None] * jnp.eye(3)
+                    nkn = jnp.einsum("ki,kij,kj->k", n, kmat, n)
+                    tkt = jnp.einsum("ki,kij,kj->k", t, kmat, t)
+                    nkn_inv = jnp.where(nkn > 1e-9,
+                                        1.0 / jnp.maximum(nkn, 1e-30), 0.0)
+                    p_max = jnp.where(
+                        tkt > 1e-9,
+                        jnp.sum(u_rel * t, -1) / jnp.maximum(tkt, 1e-30),
+                        0.0)
+                    rest = pg.restitution * cb.restitution
+                    goal = jnp.where(u_rel_n < 0.0, -rest * u_rel_n, 0.0)
+                    return ParticleRigidContacts(
+                        particle=idx,
+                        body1=jnp.full((k,), b1, jnp.int32),
+                        cp0=x, cp1=cp1, normal=n, tangent=t,
+                        nkn_inv=nkn_inv, p_max=p_max, goal_u_n=goal,
+                        friction=jnp.broadcast_to(
+                            pg.friction + cb.friction, (k,)),
+                        mask=mask.astype(jnp.float32) * (nkn > 1e-9),
+                    )
+
+                reach = cb.shape_radius + self.tolerance
+                if np.isfinite(reach):
+                    # broad phase: group-sphere vs collider-sphere reject
+                    # as real control flow — a separated pair's SDF
+                    # narrow phase never executes
+                    def empty(idx=idx, k=k, b1=b1):
+                        z3 = jnp.zeros((k, 3), jnp.float32)
+                        z = jnp.zeros((k,), jnp.float32)
+                        return ParticleRigidContacts(
+                            particle=idx,
+                            body1=jnp.full((k,), b1, jnp.int32),
+                            cp0=z3, cp1=z3, normal=z3, tangent=z3,
+                            nkn_inv=z, p_max=z, goal_u_n=z,
+                            friction=z, mask=z)
+
+                    d = jnp.linalg.norm(center - rx[b1])
+                    rows.append(jax.lax.cond(
+                        d < group_r + reach, narrow, empty))
+                else:
+                    rows.append(narrow())
         if not rows:
             return None
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *rows)

@@ -217,6 +217,7 @@ class SceneBuilder:
     _generics: list = field(default_factory=list)       # (fn, idx, k)
     _rigid_generics: list = field(default_factory=list)  # (fn, bodies, k)
     _direct_rods: list = field(default_factory=list)    # chain specs
+    _direct_rod_trees: list = field(default_factory=list)  # tree specs
     # structured grid cloth specs: offset -> {hw, distance, bending}
     _grid_cloth_specs: dict = field(default_factory=dict)
     # structured tet grid specs: (whd, offset, stiffness, poisson, tets)
@@ -803,6 +804,32 @@ class SceneBuilder:
             torsion=np.broadcast_to(np.asarray(torsion_modulus, np.float64),
                                     (nc,)).copy()))
 
+    def add_direct_rod_tree(self, bodies, edges, positions, average_radius,
+                            average_segment_length, youngs_modulus,
+                            torsion_modulus):
+        """Register one BRANCHED stiff-rod segment tree for the exact
+        direct solver (the reference's ``initTree/orderMatrix`` tree
+        factorization, ``PositionBasedElasticRods.cpp:735-1107``; solved
+        dense on TPU — ``solver.direct_rods.DirectRodTreeBatch``).
+        ``bodies (S,)`` segment rigid bodies; ``edges (C, 2)`` local
+        segment index pairs per constraint; ``positions (C, 3)`` world
+        constraint positions; per-constraint (or scalar) material
+        parameters."""
+        bodies = np.asarray(bodies, np.int32).reshape(-1)
+        edges = np.asarray(edges, np.int32).reshape(-1, 2)
+        nc = len(edges)
+        self._direct_rod_trees.append(dict(
+            bodies=bodies, edges=edges,
+            positions=np.asarray(positions, np.float64).reshape(nc, 3),
+            radius=np.broadcast_to(np.asarray(average_radius, np.float64),
+                                   (nc,)).copy(),
+            seg_len=np.broadcast_to(
+                np.asarray(average_segment_length, np.float64), (nc,)).copy(),
+            youngs=np.broadcast_to(np.asarray(youngs_modulus, np.float64),
+                                   (nc,)).copy(),
+            torsion=np.broadcast_to(np.asarray(torsion_modulus, np.float64),
+                                    (nc,)).copy()))
+
     # ---- generic (autodiff) constraints ----------------------------------
 
     def add_generic_constraints(self, fn, indices, stiffness=1.0,
@@ -1207,6 +1234,17 @@ class SceneBuilder:
                     np.stack([sp["youngs"] for sp in specs]),
                     np.stack([sp["torsion"] for sp in specs])))
             kw["direct_rods"] = tuple(batches)
+        if self._direct_rod_trees:
+            from ..solver.direct_rods import DirectRodTreeBatch
+            rxq = np.stack(self._rb_x)
+            rqq = np.stack(self._rb_q)
+            trees = tuple(
+                DirectRodTreeBatch.create(
+                    sp["bodies"], sp["edges"], sp["positions"], rxq, rqq,
+                    sp["radius"], sp["seg_len"], sp["youngs"],
+                    sp["torsion"])
+                for sp in self._direct_rod_trees)
+            kw["direct_rods"] = kw.get("direct_rods", ()) + trees
         if self._generics:
             from ..solver.constraints import GenericConstraintBatch
             kw["generics"] = tuple(

@@ -338,7 +338,8 @@ def load_scene_dict(data: dict, base_path: str = ".",
                 body = rigid_ids.get(int(seg))
                 if body is not None:
                     b._rb_mass[body] = 0.0
-            positions, radii, seg_lens = [], [], []
+            positions, radii, seg_lens, edges = [], [], [], []
+            local = {rid: k for k, rid in enumerate(rb_ids)}
             for k, jid in enumerate(j_ids):
                 jd = joints_by_id[jid]
                 positions.append(np.asarray(jd["position"], np.float64))
@@ -346,11 +347,27 @@ def load_scene_dict(data: dict, base_path: str = ".",
                 sb = rb_scale[int(jd["bodyID2"])]
                 radii.append(0.125 * (sa[0] + sa[2] + sb[0] + sb[2]))
                 seg_lens.append(0.5 * (sa[1] + sb[1]))
-            b.add_direct_rod_chain(
-                chain, np.asarray(positions),
-                np.asarray(radii), np.asarray(seg_lens),
-                float(tree.get("youngsModulus", 1e9)),
-                float(tree.get("torsionModulus", 1e9)))
+                edges.append((local[int(jd["bodyID1"])],
+                              local[int(jd["bodyID2"])]))
+            is_path = len(edges) == len(rb_ids) - 1 and all(
+                e == (k, k + 1) for k, e in enumerate(edges))
+            if is_path:
+                # linear chain: O(S) block-Thomas scan
+                b.add_direct_rod_chain(
+                    chain, np.asarray(positions),
+                    np.asarray(radii), np.asarray(seg_lens),
+                    float(tree.get("youngsModulus", 1e9)),
+                    float(tree.get("torsionModulus", 1e9)))
+            else:
+                # branched tree: exact dense solve (the reference's
+                # initTree/orderMatrix factorization capability,
+                # PositionBasedElasticRods.cpp:735-1107)
+                b.add_direct_rod_tree(
+                    chain, np.asarray(edges, np.int32),
+                    np.asarray(positions),
+                    np.asarray(radii), np.asarray(seg_lens),
+                    float(tree.get("youngsModulus", 1e9)),
+                    float(tree.get("torsionModulus", 1e9)))
 
     # -- joints (SceneLoaderDemo.cpp:766-860) --------------------------------
     def bodies(jd):

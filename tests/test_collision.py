@@ -234,3 +234,49 @@ def test_broadphase_prunes_distant_pairs_equivalently():
     assert np.isfinite(x).all()
     # both bodies free-fall identically
     np.testing.assert_allclose(x[0, 1], x[1, 1], atol=1e-6)
+
+
+def test_particle_group_broadphase_prunes_far_collider():
+    """Per-(group, collider) bounding-sphere broad phase: a far-away
+    collider's SDF narrow phase sits behind a lax.cond and contributes
+    zero contacts; the trajectory equals the same scene without the far
+    collider (DistanceFieldCollisionDetection.cpp:26-199 pruning
+    semantics)."""
+    def build(with_far):
+        b = SceneBuilder()
+        n = 8
+        tm = b.add_regular_triangle_model(n, n, translation=(-1, 1, -1),
+                                          scale=(2.0, 2.0))
+        b.add_cloth_constraints(tm, method=4, distance_stiffness=1e5)
+        b.add_bending_constraints(tm, method=3, stiffness=0.05)
+        sph = b.add_rigid_body((0.0, 0.0, 0.0), mass=0.0)
+        b.add_collision_sphere(sph, 0.6, restitution=0.0, friction=0.2,
+                               verts=np.zeros((1, 3), np.float32))
+        if with_far:
+            far = b.add_rigid_body((500.0, 0.0, 0.0), mass=0.0)
+            b.add_collision_sphere(far, 0.6, restitution=0.0,
+                                   friction=0.2,
+                                   verts=np.zeros((1, 3), np.float32))
+        b.set_particle_collider(tm, restitution=0.0, friction=0.2)
+        state, cset = b.build()
+        return state, cset, b.build_collision_pipeline(0.02)
+
+    state, cset, pipe = build(True)
+    # the compiled narrow phase is conditional per (group, collider) pair
+    contacts = pipe.detect_particles(state.particles.x, state.particles.v,
+                                     state.particles.inv_mass, state.rigid)
+    m = np.asarray(contacts.mask).reshape(2, -1)   # 2 colliders
+    assert m[1].sum() == 0.0                       # far sphere: no work
+
+    fn = make_step_fn(cset, StepConfig(), pipe)
+    s1 = state
+    for _ in range(50):
+        s1 = fn(s1)
+
+    state0, cset0, pipe0 = build(False)
+    fn0 = make_step_fn(cset0, StepConfig(), pipe0)
+    s0 = state0
+    for _ in range(50):
+        s0 = fn0(s0)
+    np.testing.assert_allclose(np.asarray(s1.particles.x),
+                               np.asarray(s0.particles.x), atol=1e-6)

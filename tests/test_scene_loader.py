@@ -132,3 +132,61 @@ def test_wilberforce_scene_stiff_rods():
     d0 = np.linalg.norm(np.diff(x0[chain], axis=0), axis=1)
     d = np.linalg.norm(np.diff(x[chain], axis=0), axis=1)
     np.testing.assert_allclose(d, d0, atol=0.02)
+
+
+def test_branched_tree_model_routes_to_tree_solver(tmp_path):
+    """A TreeModels entry whose CosseratJoints branch (one segment with
+    two children) loads into the dense tree direct solver instead of the
+    chain fallback (DirectPositionBasedSolverForStiffRodsDemo tree
+    scenes, PositionBasedElasticRods.cpp:735-1107)."""
+    import json
+
+    scene = {
+        "Name": "YTree",
+        "RigidBodies": [
+            {"id": i, "geometryFile": "../models/cube.obj",
+             "translation": t, "scale": [0.1, 0.5, 0.1],
+             "isDynamic": 1, "density": 1000,
+             "collisionObjectType": 0}
+            for i, t in enumerate([[0.0, 0.0, 0.0], [0.0, -0.5, 0.0],
+                                   [0.1, -1.0, 0.0], [-0.1, -1.0, 0.0]])
+        ],
+        "CosseratJoints": [
+            {"id": 0, "bodyID1": 0, "bodyID2": 1,
+             "position": [0.0, -0.25, 0.0]},
+            {"id": 1, "bodyID1": 1, "bodyID2": 2,
+             "position": [0.0, -0.75, 0.0]},
+            {"id": 2, "bodyID1": 1, "bodyID2": 3,
+             "position": [0.0, -0.75, 0.0]},
+        ],
+        "TreeModels": [
+            {"rbIds": [0, 1, 2, 3], "jIds": [0, 1, 2],
+             "staticSegments": [0],
+             "youngsModulus": 1e6, "torsionModulus": 1e6}
+        ],
+    }
+    # resource paths resolve relative to the scene dir ("../models/…"),
+    # mirroring the reference's data layout
+    import shutil
+    os.makedirs(tmp_path / "models", exist_ok=True)
+    shutil.copy("/root/reference/data/models/cube.obj",
+                tmp_path / "models" / "cube.obj")
+    # loader resolves "../models/x.obj" relative to the scene dir
+    scenes_dir = tmp_path / "scenes"
+    os.makedirs(scenes_dir, exist_ok=True)
+    p2 = scenes_dir / "ytree.json"
+    p2.write_text(json.dumps(scene))
+
+    from positionbaseddynamics_tpu.solver.direct_rods import (
+        DirectRodTreeBatch)
+
+    s = load_scene(str(p2), cache_dir=CACHE)
+    assert len(s.cset.direct_rods) == 1
+    assert isinstance(s.cset.direct_rods[0], DirectRodTreeBatch)
+    assert s.cset.direct_rods[0].edges.shape == (3, 2)
+    state = _run(s, 20)
+    x = np.asarray(state.rigid.x)
+    assert np.isfinite(x).all()
+    # static root held; both branch tips fell
+    np.testing.assert_allclose(x[0], [0.0, 0.0, 0.0], atol=1e-6)
+    assert (x[2:, 1] < -1.0 + -1e-4).all()

@@ -212,3 +212,93 @@ def test_direct_rod_wilberforce_invariant():
     # bounded: segments stay near the rod axis, no blow-up
     assert np.abs(x[:, 1:]).max() < 1.0
     assert np.abs(om_f).max() < 100.0
+
+
+# ---------------------------------------------------------------------------
+# Branched trees (DirectRodTreeBatch — the reference's initTree/orderMatrix
+# capability, PositionBasedElasticRods.cpp:735-1107)
+# ---------------------------------------------------------------------------
+
+
+def _y_tree_geometry(seg_len=0.5, radius=0.1, density=1000.0):
+    """Y-shaped segment tree in the x-y plane: two trunk segments along
+    +x (first static), branching at x=1 into two offset branch segments.
+    Returns (bodies builder args, edges, joint positions)."""
+    mass = density * np.pi * radius**2 * seg_len
+    ix = 0.5 * mass * radius**2
+    iyz = mass * (3 * radius**2 + seg_len**2) / 12.0
+    inertia = (ix, iyz, iyz)
+    centers = [
+        (0.25, 0.0, 0.0),      # seg0 (static)
+        (0.75, 0.0, 0.0),      # seg1
+        (1.25, 0.08, 0.0),     # seg2 (upper branch)
+        (1.25, -0.08, 0.0),    # seg3 (lower branch)
+    ]
+    masses = [0.0, mass, mass, mass]
+    edges = [(0, 1), (1, 2), (1, 3)]
+    positions = [(0.5, 0.0, 0.0), (1.0, 0.0, 0.0), (1.0, 0.0, 0.0)]
+    return centers, masses, inertia, edges, positions
+
+
+def _build_tree_direct(youngs=1e6, torsion=1e6, seg_len=0.5, radius=0.1):
+    centers, masses, inertia, edges, positions = _y_tree_geometry(
+        seg_len, radius)
+    b = SceneBuilder()
+    bodies = [b.add_rigid_body(x=c, mass=m, inertia=inertia)
+              for c, m in zip(centers, masses)]
+    b.add_direct_rod_tree(bodies, edges, positions, radius, seg_len,
+                          youngs, torsion)
+    return b
+
+
+def _build_tree_iterative(youngs=1e6, torsion=1e6, seg_len=0.5, radius=0.1):
+    centers, masses, inertia, edges, positions = _y_tree_geometry(
+        seg_len, radius)
+    b = SceneBuilder()
+    bodies = [b.add_rigid_body(x=c, mass=m, inertia=inertia)
+              for c, m in zip(centers, masses)]
+    for (a, c2), pos in zip(edges, positions):
+        b.add_stretch_bending_twisting_constraint(
+            bodies[a], bodies[c2], pos=pos, average_radius=radius,
+            average_segment_length=seg_len, youngs_modulus=youngs,
+            torsion_modulus=torsion)
+    return b
+
+
+def test_direct_rod_tree_builds_and_is_exact():
+    """A branched Y-tree solved by the dense direct solver closes every
+    constraint in one iteration per substep and keeps the static trunk
+    root fixed while the branches droop (not free fall)."""
+    b = _build_tree_direct(youngs=1e5, torsion=1e5)
+    state, cset = b.build()
+    assert len(cset.direct_rods) == 1
+    assert cset.direct_rods[0].edges.shape == (3, 2)
+    cfg = StepConfig(dt=0.005, substeps=5, max_iterations=1)
+    fin, _ = jax.jit(lambda s: rollout(s, cset, cfg, 150))(state)
+    x = np.asarray(fin.rigid.x)
+    assert np.isfinite(x).all()
+    np.testing.assert_allclose(x[0], [0.25, 0.0, 0.0], atol=1e-6)
+    t = 150 * 0.005
+    free_fall = -0.5 * 9.81 * t * t
+    # both branch tips drooped but the rod resists
+    for tip in (2, 3):
+        assert free_fall * 0.9 < x[tip, 1] < -1e-3
+
+
+def test_direct_rod_tree_matches_iterative_sbt():
+    """VERDICT done-criterion: the Y-branch tree solved directly matches
+    the converged iterative SBT-joint solve of the same topology."""
+    youngs = 1e6
+    cfg_it = StepConfig(dt=0.005, substeps=5, max_iterations=20)
+    s_it, c_it = _build_tree_iterative(youngs=youngs,
+                                      torsion=youngs).build()
+    fin_it, _ = jax.jit(lambda s: rollout(s, c_it, cfg_it, 100))(s_it)
+
+    cfg_d = StepConfig(dt=0.005, substeps=5, max_iterations=1)
+    s_d, c_d = _build_tree_direct(youngs=youngs, torsion=youngs).build()
+    fin_d, _ = jax.jit(lambda s: rollout(s, c_d, cfg_d, 100))(s_d)
+
+    x_it = np.asarray(fin_it.rigid.x)
+    x_d = np.asarray(fin_d.rigid.x)
+    assert np.isfinite(x_d).all()
+    np.testing.assert_allclose(x_d, x_it, atol=0.03)
