@@ -35,6 +35,7 @@ HOLLOW_SPHERE = "hollow_sphere"
 HOLLOW_BOX = "hollow_box"
 GRID = "grid"
 GRID_CUBIC = "grid_cubic"
+CSDF = "csdf"            # Discregrid 32-node serendipity cells (.csdf)
 PLANE = "plane"
 
 
@@ -167,6 +168,27 @@ class SDFShape:
             grid_inv_cell=jnp.asarray(cells / extent),
         )
 
+    @staticmethod
+    def from_csdf(path, invert=False, scale=1.0) -> "SDFShape":
+        """Load a Discregrid ``.csdf`` cubic SDF exactly as shipped
+        (``CubicSDFCollisionDetection.h:27-33``; scene key
+        ``collisionObjectFileName``) — no rebake; evaluation uses the
+        file's own 32-node serendipity cells. ``scale`` uniformly scales
+        the field (domain and distances) to match a scaled body."""
+        from .csdf import load_csdf
+
+        data = load_csdf(path)
+        s = float(scale)
+        return SDFShape(
+            kind=CSDF,
+            params=jnp.asarray(data["node_xi"]),
+            invert=jnp.float32(-1.0 if invert else 1.0),
+            grid_values=jnp.asarray(data["cell_values"] * s),
+            grid_origin=jnp.asarray(data["domain_min"] * s, jnp.float32),
+            grid_inv_cell=jnp.asarray(1.0 / (data["cell_size"] * s),
+                                      jnp.float32),
+        )
+
     # -- evaluation ---------------------------------------------------------
 
     def distance(self, p: Array) -> Array:
@@ -192,6 +214,9 @@ class SDFShape:
         elif k == GRID_CUBIC:
             d = grid_cubic_lagrange(self.grid_values, self.grid_origin,
                                     self.grid_inv_cell, p)
+        elif k == CSDF:
+            d = csdf_serendipity(self.grid_values, self.grid_origin,
+                                 self.grid_inv_cell, self.params, p)
         else:  # pragma: no cover
             raise ValueError(f"unknown SDF kind {k!r}")
         return self.invert * d
@@ -235,10 +260,12 @@ def shape_bounding_radius(shape: SDFShape) -> float:
         return float(np.linalg.norm(p[:3]) + p[3])
     if k == PLANE:
         return float("inf")
-    if k in (GRID, GRID_CUBIC):
+    if k in (GRID, GRID_CUBIC, CSDF):
         o = np.asarray(shape.grid_origin, np.float64)
-        ext = (np.asarray(shape.grid_values.shape, np.float64) - 1.0) \
-            / np.asarray(shape.grid_inv_cell, np.float64)
+        shp = np.asarray(shape.grid_values.shape[:3], np.float64)
+        if k != CSDF:
+            shp = shp - 1.0          # node grids: cells = nodes − 1
+        ext = shp / np.asarray(shape.grid_inv_cell, np.float64)
         corners = o[None] + ext[None] * np.stack(
             np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
             -1).reshape(-1, 3)
@@ -307,6 +334,28 @@ def _lagrange_weights_4(f: Array) -> Array:
     w2 = fm1 * f * f2 * (-0.5)
     w3 = fm1 * f * f1 * (1.0 / 6.0)
     return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def csdf_serendipity(cell_values: Array, origin: Array, inv_cell: Array,
+                     node_xi: Array, p: Array) -> Array:
+    """Evaluate a Discregrid cubic SDF at points ``(..., 3)`` using the
+    file's own 32-node serendipity cells (``collision/csdf.py``):
+    locate the cell, map to local ξ ∈ [−1, 1]³, gather the cell's 32
+    pre-gathered node values and contract with the serendipity basis.
+    Queries outside the domain clamp to the boundary cell (the grid
+    should carry padding, as the reference's baked fields do)."""
+    from .csdf import serendipity_basis
+
+    res = jnp.asarray(cell_values.shape[:3], jnp.int32)
+    u = (p - origin) * inv_cell
+    u = jnp.clip(u, 0.0, jnp.asarray(cell_values.shape[:3],
+                                     jnp.float32) - 1e-6)
+    ijk = jnp.floor(u).astype(jnp.int32)
+    ijk = jnp.minimum(ijk, res - 1)
+    xi = 2.0 * (u - ijk) - 1.0
+    vals = cell_values[ijk[..., 0], ijk[..., 1], ijk[..., 2]]  # (..., 32)
+    n = serendipity_basis(xi, node_xi)
+    return jnp.sum(vals * n, axis=-1)
 
 
 def grid_cubic_lagrange(values: Array, origin: Array, inv_cell: Array,

@@ -93,14 +93,33 @@ def _body_common(d: dict):
 
 
 def _sdf_shape_for(d: dict, verts_scaled, faces, cache_dir,
-                   default_res=(10, 10, 10)):
-    """Bake (or reuse) a dense SDF over the scaled mesh — the analogue of
-    ``generateSDF`` (``SceneLoaderDemo.cpp:212-260``)."""
+                   default_res=(10, 10, 10), respath=None):
+    """Load a shipped Discregrid ``.csdf`` field verbatim when the scene
+    provides one (``collisionObjectFileName``,
+    ``CubicSDFCollisionDetection.h:27-33``), else bake (or reuse) a
+    dense SDF over the scaled mesh — the analogue of ``generateSDF``
+    (``SceneLoaderDemo.cpp:212-260``)."""
     from ..collision.bake import bake_mesh_sdf_cached
     from ..collision.sdf import SDFShape
 
     res = [int(r) for r in d.get("resolutionSDF", default_res)]
     invert = bool(d.get("invertSDF", False))
+
+    fname = str(d.get("collisionObjectFileName", ""))
+    if fname.endswith(".csdf") and respath is not None:
+        path = respath(fname)
+        cs = np.asarray(d.get("collisionObjectScale", (1.0, 1.0, 1.0)),
+                        np.float64)
+        uniform = np.allclose(cs, cs[0], rtol=1e-9)
+        if os.path.exists(path) and uniform:
+            # exact shipped field; reference query semantics are
+            # x/scale with distance·scale[0]
+            # (CubicSDFCollisionDetection.cpp:66-73)
+            return SDFShape.from_csdf(path, invert=invert,
+                                      scale=float(cs[0]))
+        if not os.path.exists(path):
+            import warnings
+            warnings.warn(f"missing SDF file {fname}; rebaking")
     # cubic Lagrange interpolation by default, like the reference's
     # Discregrid CubicLagrangeDiscreteGrid (SceneLoaderDemo.cpp:212-260);
     # "interpolationOrderSDF": 1 opts a scene back into trilinear (8
@@ -113,7 +132,8 @@ def _sdf_shape_for(d: dict, verts_scaled, faces, cache_dir,
     return SDFShape.grid(values, origin, extent, invert=invert, order=order)
 
 
-def _collision_shape(d: dict, verts_scaled, faces, cache_dir):
+def _collision_shape(d: dict, verts_scaled, faces, cache_dir,
+                     respath=None):
     """Map ``collisionObjectType`` + ``collisionObjectScale`` to an
     :class:`SDFShape` — the ``addCollision*`` dispatch of
     ``SceneLoaderDemo.cpp:503-545`` (box full extents are halved as in
@@ -137,7 +157,8 @@ def _collision_shape(d: dict, verts_scaled, faces, cache_dir):
     if ctype == TORUS_T:
         return SDFShape.torus(cs[0], cs[1], invert=invert)
     if ctype == SDF_T:
-        return _sdf_shape_for(d, verts_scaled, faces, cache_dir)
+        return _sdf_shape_for(d, verts_scaled, faces, cache_dir,
+                              respath=respath)
     if ctype == HOLLOW_SPHERE_T:
         return SDFShape.hollow_sphere(cs[0], thickness, invert=invert)
     if ctype == HOLLOW_BOX_T:
@@ -237,7 +258,7 @@ def load_scene_dict(data: dict, base_path: str = ".",
         if enable_collision:
             shape = _collision_shape(
                 rbd, np.asarray(geo["vertices"]) * c["scale"], geo["faces"],
-                cache_dir)
+                cache_dir, respath=respath)
         if shape is not None:
             b.add_collision_object(body, shape,
                                    restitution=c["restitution"],

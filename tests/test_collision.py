@@ -280,3 +280,75 @@ def test_particle_group_broadphase_prunes_far_collider():
         s0 = fn0(s0)
     np.testing.assert_allclose(np.asarray(s1.particles.x),
                                np.asarray(s0.particles.x), atol=1e-6)
+
+
+def test_csdf_ingest_matches_baked_field():
+    """The shipped Discregrid bunny field (data/sdf/bunny_10k.csdf,
+    CubicSDFCollisionDetection.h:27-33) loads without rebaking: the
+    32-node serendipity evaluation is C0-continuous across cells and
+    agrees with our own bake of the same mesh to grid tolerance."""
+    import jax.numpy as jnp
+    from positionbaseddynamics_tpu.collision.bake import (
+        bake_mesh_sdf_cached)
+    from positionbaseddynamics_tpu.collision.csdf import load_csdf
+    from positionbaseddynamics_tpu.collision.sdf import (
+        SDFShape, shape_bounding_radius)
+    from positionbaseddynamics_tpu.utils.loaders import load_mesh
+
+    path = "/root/reference/data/sdf/bunny_10k.csdf"
+    d = load_csdf(path)
+    assert tuple(d["resolution"]) == (10, 10, 10)
+    s = SDFShape.from_csdf(path)
+    assert np.isfinite(shape_bounding_radius(s))
+
+    # continuity across interior cell boundaries
+    cmin = np.asarray(d["domain_min"])
+    cs = np.asarray(d["cell_size"])
+    mid = cmin + 5.0 * cs
+    for ax in range(3):
+        pa = mid.copy()
+        pb = mid.copy()
+        pa[ax] = cmin[ax] + 4 * cs[ax] - 1e-5
+        pb[ax] = cmin[ax] + 4 * cs[ax] + 1e-5
+        da = float(s.distance(jnp.asarray(pa, jnp.float32)))
+        db = float(s.distance(jnp.asarray(pb, jnp.float32)))
+        assert abs(da - db) < 1e-3
+
+    # field parity vs our independent bake of the same mesh
+    m = load_mesh("/root/reference/data/models/bunny_10k.obj")
+    values, origin, extent = bake_mesh_sdf_cached(
+        m["vertices"], m["faces"], resolution=(30, 30, 30), padding=0.1,
+        cache_dir="/tmp/pbd_tpu_test_sdf_cache")
+    ours = SDFShape.grid(values, origin, extent, order=3)
+    rng = np.random.default_rng(1)
+    lo = cmin + 0.5 * cs
+    hi = cmin + 9.5 * cs
+    pts = rng.uniform(0, 1, (400, 3)) * (hi - lo) + lo
+    da = np.asarray(s.distance(jnp.asarray(pts, np.float32)))
+    db = np.asarray(ours.distance(jnp.asarray(pts, np.float32)))
+    # both are coarse rasterizations of the same surface
+    assert np.abs(da - db).mean() < 0.01
+    assert (np.sign(da) == np.sign(db)).mean() > 0.98
+
+
+def test_pile_scene_uses_shipped_csdf():
+    """PileScene's bunnies declare collisionObjectFileName
+    ../sdf/bunny_10k.csdf with uniform scale 4 — the loader ingests the
+    shipped field (kind 'csdf') instead of rebaking, and the scene still
+    runs sanely."""
+    from positionbaseddynamics_tpu.scene import load_scene
+
+    s = load_scene("/root/reference/data/scenes/PileScene.json",
+                   cache_dir="/tmp/pbd_tpu_test_sdf_cache",
+                   max_sdf_resolution=14)
+    kinds = [c.shape.kind for c in s.pipeline.rigid_colliders]
+    assert kinds.count("csdf") == 2            # the two bunnies
+    fn = make_step_fn(s.cset, s.config, s.pipeline)
+    state = s.state
+    for _ in range(20):
+        state = fn(state)
+    x = np.asarray(state.rigid.x)
+    assert np.isfinite(x).all()
+    inv_m = np.asarray(state.rigid.inv_mass)
+    y0 = np.asarray(s.state.rigid.x)[:, 1]
+    assert (x[inv_m > 0, 1] < y0[inv_m > 0]).all()   # bunnies fall
