@@ -260,10 +260,15 @@ class SceneBuilder:
         return TriModelHandle(offset, TriangleMesh(len(pts), faces),
                               grid=(height, width))
 
-    def add_triangle_model(self, points, faces, mass=1.0) -> TriModelHandle:
+    def add_triangle_model(self, points, faces, mass=1.0, uvs=None,
+                           uv_indices=None) -> TriModelHandle:
+        """``uvs (T, 2)`` / ``uv_indices (F, 3)`` carry texture
+        coordinates through to OBJ export (``IndexedFaceMesh`` m_uvs)."""
         points = np.asarray(points, np.float32)
         offset = self.add_particles(points, mass)
-        return TriModelHandle(offset, TriangleMesh(len(points), faces))
+        return TriModelHandle(offset, TriangleMesh(len(points), faces,
+                                                   uvs=uvs,
+                                                   uv_indices=uv_indices))
 
     def add_regular_tet_model(self, width, height, depth, translation=(0, 0, 0),
                               rotation=None, scale=(1.0, 1.0, 1.0)) -> TetModelHandle:

@@ -35,15 +35,31 @@ class TriangleMesh:
 
     ``edges (E, 2)`` vertex pairs; ``edge_faces (E, 2)`` adjacent face ids
     (−1 for boundary), mirroring ``IndexedFaceMesh::buildNeighbors``.
+    ``uvs (T, 2)`` / ``uv_indices (F, 3)`` carry texture coordinates with
+    per-corner texture indices (``IndexedFaceMesh`` m_uvs/m_uvIndices,
+    ``Utils/IndexedFaceMesh.h``) — optional, used by OBJ export.
     """
 
     n_vertices: int
     faces: np.ndarray              # (F, 3) int32
+    uvs: np.ndarray = None         # (T, 2) float32 or None
+    uv_indices: np.ndarray = None  # (F, 3) int32 or None
     edges: np.ndarray = field(init=False)
     edge_faces: np.ndarray = field(init=False)
 
     def __post_init__(self):
         self.faces = np.asarray(self.faces, np.int32).reshape(-1, 3)
+        if self.uvs is not None and len(np.asarray(self.uvs)):
+            self.uvs = np.asarray(self.uvs, np.float32).reshape(-1, 2)
+            if self.uv_indices is not None and len(
+                    np.asarray(self.uv_indices)):
+                self.uv_indices = np.asarray(
+                    self.uv_indices, np.int32).reshape(-1, 3)
+            else:
+                self.uv_indices = None
+        else:
+            self.uvs = None
+            self.uv_indices = None
         f = self.faces
         n_f = len(f)
         # face-major halfedge order: (v0,v1), (v1,v2), (v2,v0) per face

@@ -276,7 +276,8 @@ def load_scene_dict(data: dict, base_path: str = ".",
         fric = float(tmd.get("friction", 0.2))
         pts = _transform_points(geo["vertices"], c["scale"], c["q"],
                                 c["translation"])
-        h = b.add_triangle_model(pts, geo["faces"])
+        h = b.add_triangle_model(pts, geo["faces"], uvs=geo.get("uvs"),
+                                 uv_indices=geo.get("uv_indices"))
         for sp in tmd.get("staticParticles", []):
             b.set_mass(h.offset + int(sp), 0.0)
         if cloth_method:

@@ -16,12 +16,22 @@ import os
 import time
 
 
-def export_obj(path, verts, faces):
+def export_obj(path, verts, faces, uvs=None, uv_indices=None):
+    """Write an OBJ frame; ``vt`` + per-corner texture indices when the
+    mesh carries them (``IndexedFaceMesh`` m_uvs/m_uvIndices — the
+    reference's OBJ export keeps texcoords through skinned vis meshes)."""
     with open(path, "w") as f:
         for v in verts:
             f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for t in faces:
-            f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+        if uvs is not None and uv_indices is not None:
+            for t in uvs:
+                f.write(f"vt {t[0]} {t[1]}\n")
+            for t, u in zip(faces, uv_indices):
+                f.write(f"f {t[0] + 1}/{u[0] + 1} {t[1] + 1}/{u[1] + 1} "
+                        f"{t[2] + 1}/{u[2] + 1}\n")
+        else:
+            for t in faces:
+                f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
 
 
 def main():
@@ -88,7 +98,8 @@ def main():
                 export_obj(
                     os.path.join(args.export_obj,
                                  f"tri{mid}_frame{fi:04d}.obj"),
-                    px[h.offset:h.offset + h.mesh.n_vertices], h.mesh.faces)
+                    px[h.offset:h.offset + h.mesh.n_vertices], h.mesh.faces,
+                    uvs=h.mesh.uvs, uv_indices=h.mesh.uv_indices)
             for mid, h in scene.tet_models:
                 export_obj(
                     os.path.join(args.export_obj,

@@ -142,3 +142,35 @@ def test_principal_frame_rotated_box():
     diag = pr.T @ inertia @ pr
     np.testing.assert_allclose(diag - np.diag(np.diag(diag)), 0.0,
                                atol=1e-9)
+
+
+def test_obj_uv_roundtrip(tmp_path):
+    """UVs/texcoords survive OBJ load -> TriangleMesh -> OBJ export
+    (IndexedFaceMesh m_uvs/m_uvIndices, Utils/IndexedFaceMesh.h)."""
+    import os
+    import sys
+    src = tmp_path / "quad.obj"
+    src.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "f 1/1 2/2 3/3\nf 1/1 3/3 4/4\n")
+    from positionbaseddynamics_tpu.utils.loaders import load_obj
+    from positionbaseddynamics_tpu.models import SceneBuilder
+    geo = load_obj(str(src))
+    assert geo["uvs"].shape == (4, 2)
+    assert geo["uv_indices"].shape == (2, 3)
+
+    b = SceneBuilder()
+    h = b.add_triangle_model(geo["vertices"], geo["faces"],
+                             uvs=geo["uvs"], uv_indices=geo["uv_indices"])
+    assert h.mesh.uvs.shape == (4, 2)
+    assert h.mesh.uv_indices.shape == (2, 3)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from run_scene import export_obj
+    out = tmp_path / "out.obj"
+    export_obj(str(out), geo["vertices"], h.mesh.faces, uvs=h.mesh.uvs,
+               uv_indices=h.mesh.uv_indices)
+    geo2 = load_obj(str(out))
+    np.testing.assert_allclose(geo2["uvs"], geo["uvs"], atol=1e-6)
+    np.testing.assert_array_equal(geo2["uv_indices"], geo["uv_indices"])
