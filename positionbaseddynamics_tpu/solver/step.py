@@ -77,6 +77,37 @@ def _inv_counts(cset, key, n, idx):
     return (1.0 / _jacobi_counts(n, idx))[:, None]
 
 
+def _color_subsets(batch):
+    """Host-side per-color sub-batches (fields keyed on the constraint
+    axis sliced; colors are build-time constants). Within one color no
+    two constraints share a particle, so solving only the subset equals
+    the reference's sequential in-place sweep of that color — without
+    the ``num_colors`` redundant full-batch solves the masked variant
+    paid. Cached on the batch object (cset is static per step fn)."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    cached = getattr(batch, "_color_subsets_cache", None)
+    if cached is not None:
+        return cached
+    color = np.asarray(batch.color)
+    c = batch.idx.shape[0]
+    subs = []
+    for col in range(batch.num_colors):
+        sel = np.nonzero(color == col)[0]
+        repl = {}
+        for f in _dc.fields(batch):
+            v = getattr(batch, f.name)
+            if (not f.metadata.get("static") and v is not None
+                    and hasattr(v, "shape") and v.ndim >= 1
+                    and v.shape[0] == c):
+                repl[f.name] = v[sel]
+        subs.append((jnp.asarray(sel), _dc.replace(batch, **repl)))
+    object.__setattr__(batch, "_color_subsets_cache", subs)
+    return subs
+
+
 def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg, cset, name):
     """One projection pass of one particle-constraint family.
 
@@ -87,13 +118,12 @@ def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg, cset, name):
     n = x.shape[0]
     self_avg = getattr(batch, "self_averaged", False)
     if cfg.solver_mode == "gauss_seidel":
-        for color in range(batch.num_colors):
-            corr, new_lam = batch.solve(x, inv_mass, lam, dt)
-            m = batch.color == color
-            corr = corr * m[:, None, None]
-            if new_lam.shape == lam.shape and lam.size:
-                lam = jnp.where(m, new_lam, lam)
-            x = x + scatter_add(n, batch.idx, corr)
+        for sel, sub in _color_subsets(batch):
+            sub_lam = lam[sel] if lam.size else lam
+            corr, new_lam = sub.solve(x, inv_mass, sub_lam, dt)
+            if lam.size and new_lam.shape == sub_lam.shape:
+                lam = lam.at[sel].set(new_lam)
+            x = x + scatter_add(n, sub.idx, corr)
         return x, lam
     corr, lam = batch.solve(x, inv_mass, lam, dt)
     dx = scatter_add(n, batch.idx, corr)
