@@ -369,83 +369,82 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         if damping:
             vc = [vci * (1.0 - damping) for vci in vc]
 
-        # write the central rows straight back to the stored-layout state
-        # in HBM (outputs are aliased to the inputs, so margin rows keep
-        # their zeros and the scan carry never needs re-padding)
-        out_refs = (oxx_ref, oxy_ref, oxz_ref, ovx_ref, ovy_ref, ovz_ref)
-        for s, plane in enumerate(xc + vc):
-            bufs[s][:] = plane
-
-        def _owindow(hbm):
-            if bb is not None:
-                return hbm.at[bb, pl.ds(r0 + halo, br), :]
-            return hbm.at[pl.ds(r0 + halo, br), :]
-
-        writes = [pltpu.make_async_copy(
-            bufs[s].at[pl.ds(halo, br), :], _owindow(out_refs[s]),
-            sems.at[s]) for s in range(6)]
-        for wdma in writes:
-            wdma.start()
-        for wdma in writes:
-            wdma.wait()
+        for ref, plane in zip((oxx_ref, oxy_ref, oxz_ref,
+                               ovx_ref, ovy_ref, ovz_ref), xc + vc):
+            if n_batch > 1:
+                ref[0] = plane[halo:halo + br, :]
+            else:
+                ref[:] = plane[halo:halo + br, :]
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    lead = (n_batch,) if n_batch > 1 else ()
-    grid = lead + (n_blocks,)
-    out_plane = jax.ShapeDtypeStruct(lead + (h_tot, wp_pad), jnp.float32)
+    if n_batch > 1:
+        grid = (n_batch, n_blocks)
+        out_plane = jax.ShapeDtypeStruct((n_batch, hp_pad, wp_pad),
+                                         jnp.float32)
+        out_spec = pl.BlockSpec((1, br, wp_pad), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (n_blocks,)
+        out_plane = jax.ShapeDtypeStruct((hp_pad, wp_pad), jnp.float32)
+        out_spec = pl.BlockSpec((br, wp_pad), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
     interpret = jax.default_backend() != "tpu"
     substep_call = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(out_plane,) * 6,
         in_specs=[any_spec] * _N_IN,
-        out_specs=(any_spec,) * 6,
-        # state inputs alias the outputs: margins persist, no copies
-        input_output_aliases={s: s for s in range(6)},
+        out_specs=(out_spec,) * 6,
         scratch_shapes=[pltpu.VMEM((h_win, wp_pad), jnp.float32)] * _N_IN
         + [pltpu.SemaphoreType.DMA((_N_IN,))],
         interpret=interpret,
     )
 
+    def _pad_margins(p):
+        # content -> stored rows with halo margins (row axis is -2)
+        pad = [(0, 0)] * (p.ndim - 2) + [(halo, halo), (0, 0)]
+        return jnp.pad(p, pad)
+
     def _pad_plane(a):
-        # content (h_grid, w_grid) -> stored (h_tot, wp_pad) with margins
         a = np.asarray(a, np.float32).reshape(h_grid, w_grid)
-        out = np.zeros((h_tot, wp_pad), np.float32)
-        out[halo:halo + h_grid, :w_grid] = a
+        out = np.zeros((hp_pad, wp_pad), np.float32)
+        out[:h_grid, :w_grid] = a
         return jnp.asarray(out)
 
-    w_plane = _pad_plane(inv_mass)
-    icd_plane = _pad_plane(inv_cnt_dist)
-    icb_plane = _pad_plane(inv_cnt_bend)
+    w_plane = _pad_margins(_pad_plane(inv_mass))
+    icd_plane = _pad_margins(_pad_plane(inv_cnt_dist))
+    icb_plane = _pad_margins(_pad_plane(inv_cnt_bend))
 
+    pad_h = hp_pad - h_grid
     pad_w = wp_pad - w_grid
 
     def _make_chunk(n_sub_calls):
-        """x, v -> stored planes -> one flat scan of ``n_sub_calls``
-        substep kernels -> x, v. One pad in, one unpad out; the scan
-        carry stays in stored (margined) layout throughout — the kernel
-        rewrites only content rows in place (aliased outputs), so the
-        margins' zeros persist with no per-substep copies."""
+        """x, v -> planes -> one flat scan of ``n_sub_calls`` substep
+        kernels -> x, v. One pad in, one unpad out; the scan carry stays
+        in plane layout (wrapping the repack in an outer scan instead
+        sends XLA layout assignment into a tailspin — 400s+ compiles)."""
 
         @jax.jit
         def chunk(x, v):
+            lead = (n_batch,) if n_batch > 1 else ()
             xp = x.reshape(lead + (h_grid, w_grid, 3))
             vp = v.reshape(lead + (h_grid, w_grid, 3))
-            zpad = ([(0, 0)] * len(lead)
-                    + [(halo, h_tot - halo - h_grid), (0, pad_w)])
+            zpad = [(0, 0)] * len(lead) + [(0, pad_h), (0, pad_w)]
             planes = [jnp.pad(p[..., ci], zpad)
                       for p in (xp, vp) for ci in range(3)]
 
             def body(carry, _):
-                outs = substep_call(*carry, w_plane, icd_plane, icb_plane)
+                outs = substep_call(*[_pad_margins(p) for p in carry],
+                                    w_plane, icd_plane, icb_plane)
                 return tuple(outs), None
 
             outs, _ = jax.lax.scan(body, tuple(planes), None,
                                    length=n_sub_calls)
-            sl = slice(halo, halo + h_grid)
-            x_out = jnp.stack([o[..., sl, :w_grid] for o in outs[0:3]],
+            x_out = jnp.stack([o[..., :h_grid, :w_grid]
+                               for o in outs[0:3]],
                               axis=-1).reshape(lead + (-1, 3))
-            v_out = jnp.stack([o[..., sl, :w_grid] for o in outs[3:6]],
+            v_out = jnp.stack([o[..., :h_grid, :w_grid]
+                               for o in outs[3:6]],
                               axis=-1).reshape(lead + (-1, 3))
             return x_out, v_out
 
