@@ -146,6 +146,12 @@ def main():
                     help="attempt buffer donation of the state (known to "
                          "fail with INVALID_ARGUMENT on tunneled axon "
                          "backends; reports instead of crashing)")
+    ap.add_argument("--check", action="store_true",
+                    help="ON-DEVICE numerical check: run 10 steps on both "
+                         "the Pallas and jnp paths on this backend and "
+                         "compare trajectories. Catches hardware-only "
+                         "kernel bugs (e.g. DMA aliasing races) that "
+                         "interpret-mode CPU tests cannot see.")
     args = ap.parse_args()
 
     if args.mpc:
@@ -169,6 +175,29 @@ def main():
 
     def chunk(s):
         return rollout(s, cset, cfg, args.steps_per_call)[0]
+
+    if args.check:
+        import sys
+
+        import numpy as _np
+
+        from positionbaseddynamics_tpu.solver.grid_cloth_pallas import (
+            make_pallas_cloth_step)
+
+        gc = cset.grid_cloths[0]
+        pstep = make_pallas_cloth_step(
+            gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
+            dt=cfg.dt, substeps=cfg.substeps,
+            max_iterations=cfg.max_iterations, n_steps=10)
+        x, v = pstep(state.particles.x, state.particles.v)
+        fin, _ = jax.jit(lambda s: rollout(s, cset, cfg, 10))(state)
+        dev = float(_np.abs(_np.asarray(x)
+                            - _np.asarray(fin.particles.x)).max())
+        ok = dev < 1e-5
+        print(json.dumps({"metric": "pallas_vs_jnp_10step_dev",
+                          "value": dev, "unit": "max |dx|",
+                          "backend": jax.default_backend(), "ok": ok}))
+        return 0 if ok else sys.exit(1)
 
     # Fused Pallas substep kernel (docs/PERF.md): row-block grid with
     # halo margins, one launch per substep, ~8x the jnp grid path on the
