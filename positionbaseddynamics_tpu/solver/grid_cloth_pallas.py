@@ -168,6 +168,7 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
     h_tot = hp_pad + 2 * halo               # stored rows incl. margins
     h_win = br + 2 * halo                   # VMEM window rows
     n_blocks = hp_pad // br
+    total_steps = n_batch * n_blocks        # linear grid length
 
     rest = {f: _family_rest(batch, f) for f in ("h", "v", "d")}
     stiff = {f: float(batch.stiff[f]) for f in ("h", "v", "d")}
@@ -246,30 +247,64 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
                w_hbm, icd_hbm, icb_hbm,
                oxx_ref, oxy_ref, oxz_ref, ovx_ref, ovy_ref, ovz_ref,
                *scratch):
-        bufs = scratch[:_N_IN]
-        sems = scratch[_N_IN]
+        bufs2 = scratch[:_N_IN]             # two-slot input windows
+        sems = scratch[_N_IN]               # (2, _N_IN) DMA semaphores
         if n_batch > 1:
             bb = pl.program_id(0)           # rollout index
-            r0 = pl.program_id(1) * br      # window start in stored rows
+            ri = pl.program_id(1)
+            li = bb * n_blocks + ri         # linear grid step
+            r0 = ri * br                    # window start in stored rows
         else:
             bb = None
-            r0 = pl.program_id(0) * br
+            ri = pl.program_id(0)
+            li = ri
+            r0 = ri * br
+        slot = jax.lax.rem(li, 2)
 
-        def _window(hbm, s):
+        hbms = (xx_hbm, xy_hbm, xz_hbm, vx_hbm, vy_hbm, vz_hbm,
+                w_hbm, icd_hbm, icb_hbm)
+
+        def _copy(s, slot_, bb_, r0_):
             # state inputs carry the rollout axis; w/icd/icb are shared
+            hbm = hbms[s]
             if bb is not None and s < 6:
-                return hbm.at[bb, pl.ds(r0, h_win), :]
-            return hbm.at[pl.ds(r0, h_win), :]
+                src = hbm.at[bb_, pl.ds(r0_, h_win), :]
+            else:
+                src = hbm.at[pl.ds(r0_, h_win), :]
+            return pltpu.make_async_copy(src, bufs2[s].at[slot_],
+                                         sems.at[slot_, s])
 
-        copies = [pltpu.make_async_copy(
-            _window(hbm, s), bufs[s], sems.at[s])
-            for s, hbm in enumerate((xx_hbm, xy_hbm, xz_hbm, vx_hbm,
-                                     vy_hbm, vz_hbm, w_hbm, icd_hbm,
-                                     icb_hbm))]
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+        # Input prefetch (two-slot): this step's windows were started by
+        # the previous grid step; the NEXT step's windows start before
+        # compute so their DMA flies underneath it. +17% at batch 64;
+        # at short grids the extra first-step bubble costs more than it
+        # hides, so small runs keep the simple start-and-wait path.
+        use_prefetch = total_steps > 8
+        if use_prefetch:
+            @pl.when(li == 0)
+            def _start_first():
+                for s in range(_N_IN):
+                    _copy(s, slot, bb, r0).start()
+
+            @pl.when(li + 1 < total_steps)
+            def _prefetch_next():
+                li_n = li + 1
+                if n_batch > 1:
+                    bb_n = li_n // n_blocks
+                    r0_n = (li_n % n_blocks) * br
+                else:
+                    bb_n = None
+                    r0_n = li_n * br
+                for s in range(_N_IN):
+                    _copy(s, 1 - slot, bb_n, r0_n).start()
+        else:
+            for s in range(_N_IN):
+                _copy(s, slot, bb, r0).start()
+
+        for s in range(_N_IN):
+            _copy(s, slot, bb, r0).wait()
+
+        bufs = [bufs2[s].at[slot] for s in range(_N_IN)]
 
         # absolute CONTENT row of local row l: r0 + l - halo
         i_idx = (jax.lax.broadcasted_iota(jnp.int32, (h_win, wp_pad), 0)
@@ -395,8 +430,9 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         out_shape=(out_plane,) * 6,
         in_specs=[any_spec] * _N_IN,
         out_specs=(out_spec,) * 6,
-        scratch_shapes=[pltpu.VMEM((h_win, wp_pad), jnp.float32)] * _N_IN
-        + [pltpu.SemaphoreType.DMA((_N_IN,))],
+        scratch_shapes=[pltpu.VMEM((2, h_win, wp_pad), jnp.float32)]
+        * _N_IN
+        + [pltpu.SemaphoreType.DMA((2, _N_IN))],
         interpret=interpret,
     )
 
