@@ -66,6 +66,84 @@ def bench_mpc(args):
     }))
 
 
+def bench_mpc_big(args):
+    """The north-star workload end to end: an MPPI planner whose rollouts
+    are the BATCHED Pallas 102k-particle cloth (one planner update =
+    ``mpc_samples`` parallel 320x320 rollouts of ``mpc_horizon`` steps on
+    one chip). Control = dragging the pinned corner (velocity command,
+    applied to the pinned particle's position between sim steps); cost =
+    squared distance of the free corner to a target."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    from positionbaseddynamics_tpu.models import SceneBuilder
+    from positionbaseddynamics_tpu.solver import StepConfig
+    from positionbaseddynamics_tpu.solver.grid_cloth_pallas import (
+        make_pallas_cloth_step)
+
+    n = args.width
+    k_samples = args.mpc_samples
+    horizon = args.mpc_horizon
+    b = SceneBuilder()
+    tm = b.add_regular_triangle_model(n, n, scale=(2.0, 2.0))
+    pin = tm.offset
+    b.set_mass(pin, 0.0)
+    b.add_cloth_constraints(tm, method=4, distance_stiffness=1e5)
+    b.add_bending_constraints(tm, method=3, stiffness=0.05)
+    state, cset = b.build()
+    cfg = StepConfig()
+    gc = cset.grid_cloths[0]
+    pstep = make_pallas_cloth_step(
+        gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
+        dt=cfg.dt, substeps=cfg.substeps, n_batch=k_samples, n_steps=1)
+
+    free_corner = tm.offset + n * n - 1
+    target = jnp.asarray(state.particles.x[pin]) + jnp.array([0.5, 0.5, 0.0])
+    sigma, lam, max_speed = 1.0, 0.1, 2.0
+
+    @jax.jit
+    def planner_update(key, x0, v0, nominal):
+        eps = sigma * jax.random.normal(key, (k_samples, horizon, 3))
+        u = jnp.clip(nominal[None] + eps, -max_speed, max_speed)
+        x = jnp.broadcast_to(x0, (k_samples,) + x0.shape)
+        v = jnp.broadcast_to(v0, (k_samples,) + v0.shape)
+        cost = jnp.zeros((k_samples,))
+        for t in range(horizon):
+            # velocity command on the pinned corner -> position update
+            x = x.at[:, pin].add(u[:, t] * cfg.dt)
+            x, v = pstep(x, v)
+            cost = cost + 1e-3 * jnp.sum(u[:, t] ** 2, -1)
+        cost = cost + jnp.sum((x[:, free_corner] - target) ** 2, -1)
+        w = jax.nn.softmax(-cost / lam)
+        return nominal + jnp.einsum("k,kh d->hd", w, eps), cost.min()
+
+    key = jax.random.PRNGKey(0)
+    nominal = jnp.zeros((horizon, 3), jnp.float32)
+    x0, v0 = state.particles.x, state.particles.v
+    nominal, _ = jax.block_until_ready(
+        planner_update(key, x0, v0, nominal))          # compile
+    t0 = time.perf_counter()
+    for i in range(args.calls):
+        nominal, best = planner_update(jax.random.PRNGKey(i), x0, v0,
+                                       nominal)
+    jax.block_until_ready(nominal)
+    dt = time.perf_counter() - t0
+    updates_per_s = args.calls / dt
+    print(json.dumps({
+        "metric": f"mppi_cloth{n * n // 1000}k_planner_updates_per_s"
+                  f"_k{k_samples}_h{horizon}",
+        "value": round(updates_per_s, 2),
+        # north-star framing: sim-steps simulated per second across the
+        # planner's rollout fan-out
+        "aggregate_steps_per_s": round(
+            updates_per_s * k_samples * horizon, 1),
+        "unit": "planner updates/s",
+        "vs_baseline": round(updates_per_s * k_samples * horizon / 60.0,
+                             3),
+        "path": "pallas_fused",
+    }))
+
+
 def bench_bar(args):
     """BarDemo-class metric (BASELINE config 2, ``Demos/BarDemo/main.cpp``):
     a regular XPBD FEM tet bar cantilever at ~100k particles via the
@@ -122,6 +200,10 @@ def main():
     ap.add_argument("--mpc", action="store_true",
                     help="benchmark MPPI planner rollouts/s instead "
                          "(north-star sampling-MPC workload)")
+    ap.add_argument("--mpc-big", action="store_true",
+                    help="MPPI planner over BATCHED Pallas rollouts of "
+                         "the full 102k-particle cloth (the north-star "
+                         "workload end to end)")
     ap.add_argument("--mpc-samples", type=int, default=256)
     ap.add_argument("--mpc-horizon", type=int, default=10)
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -156,6 +238,8 @@ def main():
 
     if args.mpc:
         return bench_mpc(args)
+    if args.mpc_big:
+        return bench_mpc_big(args)
     if args.bar:
         return bench_bar(args)
 
