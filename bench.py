@@ -12,6 +12,7 @@ steps/s at 100k particles, BASELINE.json).
 """
 import argparse
 import json
+import os
 import time
 
 
@@ -144,6 +145,38 @@ def bench_mpc_big(args):
     }))
 
 
+def bench_scene(args):
+    """BASELINE configs 4/5: time a reference scene played headless
+    (PileScene by default — rigid bodies + shipped-.csdf collision)."""
+    import jax
+    import numpy as _np
+    from positionbaseddynamics_tpu.scene import load_scene
+    from positionbaseddynamics_tpu.solver import make_step_fn
+
+    path = args.scene or \
+        "/root/reference/data/scenes/PileScene.json"
+    name = os.path.splitext(os.path.basename(path))[0]
+    s = load_scene(path, cache_dir="/tmp/pbd_bench_sdf_cache",
+                   max_sdf_resolution=14)
+    fn = make_step_fn(s.cset, s.config, s.pipeline)
+    state = jax.block_until_ready(fn(s.state))      # compile + probe
+    if s.state.rigid is not None:
+        assert _np.isfinite(_np.asarray(state.rigid.x)).all()
+    t0 = time.perf_counter()
+    steps = args.calls * args.steps_per_call
+    for _ in range(steps):
+        state = fn(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    steps_per_s = steps / dt
+    print(json.dumps({
+        "metric": f"scene_{name}_steps_per_s",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / 60.0, 3),
+    }))
+
+
 def bench_bar(args):
     """BarDemo-class metric (BASELINE config 2, ``Demos/BarDemo/main.cpp``):
     a regular XPBD FEM tet bar cantilever at ~100k particles via the
@@ -220,6 +253,11 @@ def main():
                     help="benchmark the BarDemo workload instead: regular "
                          "XPBD FEM tet bar via the structured tet-grid "
                          "path (BASELINE config 2)")
+    ap.add_argument("--pile", action="store_true",
+                    help="benchmark a reference scene played headless "
+                         "(PileScene by default; BASELINE configs 4/5)")
+    ap.add_argument("--scene", default=None,
+                    help="scene JSON for --pile (default PileScene)")
     ap.add_argument("--bar-dims", type=int, nargs=3, default=(80, 36, 36),
                     metavar=("W", "H", "D"),
                     help="tet bar vertex grid (default 80x36x36 = 103k "
@@ -242,6 +280,8 @@ def main():
         return bench_mpc_big(args)
     if args.bar:
         return bench_bar(args)
+    if args.pile:
+        return bench_scene(args)
 
     import jax
     import jax.numpy as jnp

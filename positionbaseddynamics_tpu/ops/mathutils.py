@@ -32,28 +32,180 @@ def cot_theta(v: Array, w: Array) -> Array:
     return cos_t * safe_inv(jnp.maximum(sin_t, 1e-12))
 
 
+def _jacobi_eigh_3x3(m: Array, sweeps: int = 6):
+    """Eigendecomposition of a symmetric 3×3 via cyclic Jacobi rotations —
+    fully unrolled SCALAR arithmetic (no 3×3 matmuls, no ``.at`` updates),
+    so a ``vmap`` over millions of matrices lowers to flat VPU code on
+    TPU. Batched tiny matmuls pad their 3-wide dims onto (8, 128) tiles
+    and run ~40× off peak — a matrix-form variant of this very routine
+    measured SLOWER than ``jnp.linalg``'s serial QR path. Returns
+    ``(eigvals (3,), V (3, 3))`` with ``m = V diag(λ) Vᵀ``; quadratic
+    convergence makes ``sweeps=6`` machine-precision for well-scaled
+    inputs (``MathFunctions::eigenDecomposition`` uses the same Jacobi
+    scheme)."""
+    a = {(0, 0): m[0, 0], (1, 1): m[1, 1], (2, 2): m[2, 2],
+         (0, 1): m[0, 1], (0, 2): m[0, 2], (1, 2): m[1, 2]}
+    v = {(i, j): (jnp.ones_like(m[0, 0]) if i == j
+                  else jnp.zeros_like(m[0, 0]))
+         for i in range(3) for j in range(3)}
+
+    def sym(i, j):
+        return a[(i, j)] if (i, j) in a else a[(j, i)]
+
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            r = 3 - p - q                     # the untouched index
+            app, aqq, apq = a[(p, p)], a[(q, q)], sym(p, q)
+            theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
+            c = jnp.cos(theta)
+            s = jnp.sin(theta)
+            cc, ss, cs = c * c, s * s, c * s
+            apr, aqr = sym(p, r), sym(q, r)
+            a[(p, p)] = cc * app + 2.0 * cs * apq + ss * aqq
+            a[(q, q)] = ss * app - 2.0 * cs * apq + cc * aqq
+            a[(p, q) if (p, q) in a else (q, p)] = \
+                cs * (aqq - app) + (cc - ss) * apq
+            key_pr = (p, r) if (p, r) in a else (r, p)
+            key_qr = (q, r) if (q, r) in a else (r, q)
+            a[key_pr] = c * apr + s * aqr
+            a[key_qr] = -s * apr + c * aqr
+            for i in range(3):
+                vip, viq = v[(i, p)], v[(i, q)]
+                v[(i, p)] = c * vip + s * viq
+                v[(i, q)] = -s * vip + c * viq
+
+    eig = jnp.stack([a[(0, 0)], a[(1, 1)], a[(2, 2)]])
+    vm = jnp.stack([jnp.stack([v[(i, j)] for j in range(3)])
+                    for i in range(3)])
+    return eig, vm
+
+
+def mm3(a: Array, b: Array) -> Array:
+    """3×3 matrix product as fully unrolled scalar multiply-adds.
+    Under ``vmap``, ``a @ b`` on (…, 3, 3) operands lowers to batched
+    tiny matmuls that pad their 3-wide dims onto (8, 128) MXU tiles and
+    run ~40× off peak; the unrolled form stays on the VPU. Use this for
+    every small-matrix product inside vmapped kernels."""
+    rows = []
+    for i in range(3):
+        rows.append(jnp.stack(
+            [sum(a[..., i, k] * b[..., k, j] for k in range(3))
+             for j in range(3)], axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def mm3_tn(a: Array, b: Array) -> Array:
+    """``aᵀ @ b`` unrolled (see :func:`mm3`)."""
+    rows = []
+    for i in range(3):
+        rows.append(jnp.stack(
+            [sum(a[..., k, i] * b[..., k, j] for k in range(3))
+             for j in range(3)], axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def mm3_nt(a: Array, b: Array) -> Array:
+    """``a @ bᵀ`` unrolled (see :func:`mm3`)."""
+    rows = []
+    for i in range(3):
+        rows.append(jnp.stack(
+            [sum(a[..., i, k] * b[..., j, k] for k in range(3))
+             for j in range(3)], axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def mv3(a: Array, x: Array) -> Array:
+    """``a @ x`` for a 3-vector, unrolled (see :func:`mm3`)."""
+    return jnp.stack(
+        [sum(a[..., i, k] * x[..., k] for k in range(3))
+         for i in range(3)], axis=-1)
+
+
+def det3(a: Array) -> Array:
+    """Explicit 3×3 determinant (``jnp.linalg.det`` batches poorly on
+    TPU for tiny matrices)."""
+    return (a[..., 0, 0] * (a[..., 1, 1] * a[..., 2, 2]
+                            - a[..., 1, 2] * a[..., 2, 1])
+            - a[..., 0, 1] * (a[..., 1, 0] * a[..., 2, 2]
+                              - a[..., 1, 2] * a[..., 2, 0])
+            + a[..., 0, 2] * (a[..., 1, 0] * a[..., 2, 1]
+                              - a[..., 1, 1] * a[..., 2, 0]))
+
+
 def svd_inversion_handling(a: Array):
     """Signed SVD: ``A = U diag(σ) Vᵀ`` with ``U, V ∈ SO(3)`` and the
-    *smallest* singular value negated when ``det(A) < 0``.
+    *smallest* singular value negated when ``det(A) < 0`` — the
+    semantics of ``MathFunctions::svdWithInversionHandling``
+    (``MathFunctions.cpp``: reflections in U/V are converted to
+    rotations by flipping the column of the smallest singular value).
 
-    Matches the semantics of ``MathFunctions::svdWithInversionHandling``
-    (``MathFunctions.cpp``: reflections in U/V are converted to rotations by
-    flipping the column of the smallest singular value) using a branch-free
-    formulation on top of ``jnp.linalg.svd`` (σ sorted descending, so the
-    smallest is index 2). Returns ``(U, sigma, VT)``.
-    """
+    Backend-specialized at trace time: on TPU the scalar-unrolled
+    Jacobi form (below) runs on the VPU, where the batched QR-iteration
+    ``jnp.linalg.svd`` was the dominant cost of every inversion-handling
+    FEM path; on CPU the LAPACK-backed form keeps the graph compact
+    (the ~600-op unrolled Jacobi body, multiplied by Gauss-Seidel color
+    counts, sent CPU test compiles past 10 minutes). Both agree to f32
+    precision. Returns ``(U, sigma, VT)``."""
+    if jax.default_backend() == "tpu":
+        return _svd_inversion_handling_jacobi(a)
+    return _svd_inversion_handling_lapack(a)
+
+
+def _svd_inversion_handling_lapack(a: Array):
     u, s, vt = jnp.linalg.svd(a, full_matrices=False)
-
     det_u = jnp.linalg.det(u)
     su = jnp.where(det_u < 0.0, -1.0, 1.0)
     u = u.at[:, 2].multiply(su)
     s = s.at[2].multiply(su)
-
     det_vt = jnp.linalg.det(vt)
     sv = jnp.where(det_vt < 0.0, -1.0, 1.0)
     vt = vt.at[2, :].multiply(sv)
     s = s.at[2].multiply(sv)
     return u, s, vt
+
+
+def _svd_inversion_handling_jacobi(a: Array):
+    """Jacobi-eigendecomposition form: U's first two columns come from
+    ``A·vᵢ/σᵢ`` (Gram-Schmidt-corrected), the third from their cross
+    product, which bakes the det sign into σ₂ exactly as the reference
+    does."""
+    ata = mm3_tn(a, a)
+    lam, v = _jacobi_eigh_3x3(ata)
+    # sort eigenpairs descending: 3-element sorting network of
+    # compare-swaps on (λ, column) pairs — no gather, stays scalar
+    cols = [v[:, 0], v[:, 1], v[:, 2]]
+    lams = [lam[0], lam[1], lam[2]]
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        swap = lams[i] < lams[j]
+        lams[i], lams[j] = (jnp.where(swap, lams[j], lams[i]),
+                            jnp.where(swap, lams[i], lams[j]))
+        cols[i], cols[j] = (jnp.where(swap, cols[j], cols[i]),
+                            jnp.where(swap, cols[i], cols[j]))
+    lam = jnp.stack(lams)
+    v = jnp.stack(cols, axis=1)
+    # right factor as a rotation
+    v = v.at[:, 2].multiply(jnp.where(det3(v) < 0.0, -1.0, 1.0))
+    sig = jnp.sqrt(jnp.maximum(lam, 0.0))
+
+    av0 = mv3(a, v[:, 0])
+    av1 = mv3(a, v[:, 1])
+    n0 = jnp.linalg.norm(av0)
+    # fall back to an arbitrary frame for fully degenerate A (σ₀ ≈ 0)
+    u0 = jnp.where(n0 > 1e-12, av0 / jnp.maximum(n0, 1e-30),
+                   jnp.array([1.0, 0.0, 0.0], a.dtype))
+    av1 = av1 - jnp.dot(av1, u0) * u0
+    n1 = jnp.linalg.norm(av1)
+    fallback1 = jnp.cross(u0, jnp.array([0.0, 0.0, 1.0], a.dtype))
+    fallback2 = jnp.cross(u0, jnp.array([0.0, 1.0, 0.0], a.dtype))
+    fb = jnp.where(jnp.linalg.norm(fallback1) > 0.1, fallback1, fallback2)
+    fb = fb / jnp.maximum(jnp.linalg.norm(fb), 1e-30)
+    u1 = jnp.where(n1 > 1e-12, av1 / jnp.maximum(n1, 1e-30), fb)
+    u2 = jnp.cross(u0, u1)
+    u = jnp.stack([u0, u1, u2], axis=1)          # det(U) = +1
+    # det(A) < 0 ⇒ true u₂ = −(u₀×u₁); folding the flip into σ₂ gives
+    # exactly the reference's negated-smallest-σ convention
+    sig = sig.at[2].multiply(jnp.where(det3(a) < 0.0, -1.0, 1.0))
+    return u, sig, v.T
 
 
 def polar_decomposition(a: Array):
@@ -62,8 +214,8 @@ def polar_decomposition(a: Array):
     Returns ``(R, S)``.
     """
     u, s, vt = svd_inversion_handling(a)
-    r = u @ vt
-    s_mat = vt.T @ jnp.diag(s) @ vt
+    r = mm3(u, vt)
+    s_mat = mm3_tn(vt, s[:, None] * vt)
     return r, s_mat
 
 

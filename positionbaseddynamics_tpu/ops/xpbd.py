@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .mathutils import EPS, safe_inv, svd_inversion_handling
+from .mathutils import (EPS, mm3, mm3_nt, mm3_tn, safe_inv,
+                        svd_inversion_handling)
 
 Array = jax.Array
 
@@ -143,7 +144,8 @@ def _deformation_gradient(p0, p1, p2, p3, inv_rest_mat):
     """``F = D_s · D_m⁻¹`` with edge matrix columns ``pᵢ − p3``
     (``PositionBasedDynamics.cpp:958-980``)."""
     ds = jnp.stack([p0 - p3, p1 - p3, p2 - p3], axis=-1)  # (3,3) columns
-    return ds @ inv_rest_mat
+    # unrolled product: a vmapped `@` lowers to batched tiny MXU matmuls
+    return mm3(ds, inv_rest_mat)
 
 
 def green_strain_energy(p0, p1, p2, p3, inv_rest_mat, rest_volume, mu, lam_coef):
@@ -156,9 +158,10 @@ def green_strain_energy(p0, p1, p2, p3, inv_rest_mat, rest_volume, mu, lam_coef)
     Returns ``(energy, sigma, F)``.
     """
     f = _deformation_gradient(p0, p1, p2, p3, inv_rest_mat)
-    eps_m = 0.5 * (f.T @ f - jnp.eye(3, dtype=f.dtype))
+    eps_m = 0.5 * (mm3_tn(f, f) - jnp.eye(3, dtype=f.dtype))
     trace = jnp.trace(eps_m)
-    sigma = f @ (2.0 * mu * eps_m + lam_coef * trace * jnp.eye(3, dtype=f.dtype))
+    sigma = mm3(f, 2.0 * mu * eps_m
+                + lam_coef * trace * jnp.eye(3, dtype=f.dtype))
     psi = mu * jnp.sum(eps_m * eps_m) + 0.5 * lam_coef * trace * trace
     return rest_volume * psi, sigma, f
 
@@ -177,8 +180,9 @@ def green_strain_energy_inversion(p0, p1, p2, p3, inv_rest_mat, rest_volume, mu,
     trace = jnp.sum(eps_hat)
     sigma_vec = hat_f * (2.0 * mu * eps_hat + lam_coef * trace)
 
-    sigma = u @ jnp.diag(sigma_vec) @ vt
-    eps_m = u @ jnp.diag(eps_hat) @ vt
+    # u @ diag(d) is just column scaling; keep products unrolled
+    sigma = mm3(u * sigma_vec[None, :], vt)
+    eps_m = mm3(u * eps_hat[None, :], vt)
     psi = mu * jnp.sum(eps_m * eps_m) + 0.5 * lam_coef * trace * trace
     return rest_volume * psi, sigma, f
 
@@ -189,7 +193,7 @@ def grad_c_green(rest_volume, inv_rest_mat, sigma):
     (``PositionBasedDynamics::computeGradCGreen``,
     ``PositionBasedDynamics.cpp:1011-1031``). Returns ``(4, 3)``.
     """
-    h = sigma @ inv_rest_mat.T * rest_volume
+    h = mm3_nt(sigma, inv_rest_mat) * rest_volume
     g012 = h.T  # row j = H[:, j] = gradient of vertex j
     g3 = -jnp.sum(g012, axis=0)
     return jnp.concatenate([g012, g3[None]], axis=0)
