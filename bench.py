@@ -337,18 +337,31 @@ def main():
         from positionbaseddynamics_tpu.solver.grid_cloth_pallas import (
             make_pallas_cloth_step)
 
-        for flag in ("donate", "profile", "timers"):
-            val = getattr(args, flag)
-            if val not in (None, False, 1):
-                print(f"warning: --{flag} is ignored on the pallas path",
-                      file=sys.stderr)
+        for flag in ("donate", "timers"):
+            if getattr(args, flag):
+                print(f"warning: --{flag} is ignored on the pallas path "
+                      f"(use --no-pallas)", file=sys.stderr)
+        if args.profile:
+            print("warning: --profile is ignored on the pallas path "
+                  "(use --no-pallas)", file=sys.stderr)
 
-        gc = cset.grid_cloths[0]
-        pallas_chunk = make_pallas_cloth_step(
-            gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
-            dt=cfg.dt, substeps=cfg.substeps,
-            max_iterations=cfg.max_iterations, n_batch=args.batch,
-            n_steps=args.steps_per_call)
+        try:
+            gc = cset.grid_cloths[0] if cset.grid_cloths else None
+            if gc is None:
+                raise NotImplementedError("no structured grid cloth")
+            pallas_chunk = make_pallas_cloth_step(
+                gc, state.particles.inv_mass, gc.inv_cnt_dist,
+                gc.inv_cnt_bend, dt=cfg.dt, substeps=cfg.substeps,
+                max_iterations=cfg.max_iterations, n_batch=args.batch,
+                n_steps=args.steps_per_call)
+        except NotImplementedError as e:
+            if args.pallas:        # explicitly forced
+                raise
+            print(f"pallas path unavailable ({e}); "
+                  f"falling back to the jnp grid path", file=sys.stderr)
+            pallas_chunk = None
+
+    if args.pallas is not False and pallas_chunk is not None:
 
         x, v = state.particles.x, state.particles.v
         if args.batch > 1:

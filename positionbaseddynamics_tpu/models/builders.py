@@ -937,11 +937,19 @@ class SceneBuilder:
                               stiffness: float = 1.0, poisson_ratio: float = 0.3,
                               volume_stiffness: float = 1.0,
                               normalize_stretch: bool = False,
-                              normalize_shear: bool = False):
+                              normalize_shear: bool = False,
+                              inversion_handling: bool = False):
         """1 = distance+volume, 2 = classic FEM tet, 3 = XPBD FEM tet,
         4 = strain tet, 5 = shape matching (one cluster per tet, corrections
         averaged by per-vertex cluster counts), 6 = XPBD distance + XPBD
-        volume (``addSolidConstraints``, ``SimulationModel.cpp:1242-1320``)."""
+        volume (``addSolidConstraints``, ``SimulationModel.cpp:1242-1320``).
+
+        ``inversion_handling`` applies to method 3 on regular tet grids
+        (the structured ``solver/grid_tet.py`` fast path): the reference's
+        SVD stress for inverted tets is select-based and costs ~4× even
+        when no tet inverts, so it is opt-in there; the unstructured
+        paths (methods 2/3 on irregular meshes) always handle inversion
+        like the reference."""
         tets = (tm.mesh.tets + tm.offset).astype(np.int32)
         n = len(tets)
         if method in (1, 6):
@@ -950,13 +958,15 @@ class SceneBuilder:
             self._distance.append((edges, _bc(stiffness, len(edges)), xpbd))
             self._volume.append((tets, _bc(volume_stiffness, n), xpbd))
         elif method in (2, 3):
+            uniform = (np.ndim(stiffness) == 0
+                       and np.ndim(poisson_ratio) == 0)
             if (method == 3 and self.use_structured_grid
-                    and tm.grid is not None):
+                    and tm.grid is not None and uniform):
                 # structured fast path; build() falls back to the generic
                 # batch if the cells turn out non-congruent
                 self._grid_tet_specs.append(
                     (tm.grid, tm.offset, float(stiffness),
-                     float(poisson_ratio), tets))
+                     float(poisson_ratio), tets, bool(inversion_handling)))
                 return
             self._fem_tet.append((tets, _bc(stiffness, n),
                                   _bc(poisson_ratio, n), method == 3))
@@ -964,7 +974,7 @@ class SceneBuilder:
             sk = np.broadcast_to(np.float32(stiffness), (n, 3)).copy()
             self._strain_tet.append((tets, sk, sk.copy(),
                                      bool(normalize_stretch),
-                                     bool(normalize_stretch)))
+                                     bool(normalize_shear)))
         elif method == 5:
             for row in tets:
                 self._shape_matching.append(
@@ -1147,10 +1157,12 @@ class SceneBuilder:
         if self._grid_tet_specs:
             from ..solver.grid_tet import GridTetBatch
             gts = []
-            for (w_g, h_g, d_g), off, stiff, nu, tets in self._grid_tet_specs:
+            for ((w_g, h_g, d_g), off, stiff, nu, tets,
+                 inv) in self._grid_tet_specs:
                 try:
-                    gts.append(GridTetBatch.create(w_g, h_g, d_g, off, x,
-                                                   stiff, nu))
+                    gts.append(GridTetBatch.create(
+                        w_g, h_g, d_g, off, x, stiff, nu,
+                        inversion_handling=inv))
                 except NotImplementedError:
                     # non-congruent cells — generic unstructured fallback
                     self._fem_tet.append((tets, _bc(stiff, len(tets)),

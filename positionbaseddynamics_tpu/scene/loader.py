@@ -117,9 +117,15 @@ def _sdf_shape_for(d: dict, verts_scaled, faces, cache_dir,
             # (CubicSDFCollisionDetection.cpp:66-73)
             return SDFShape.from_csdf(path, invert=invert,
                                       scale=float(cs[0]))
+        import warnings
         if not os.path.exists(path):
-            import warnings
             warnings.warn(f"missing SDF file {fname}; rebaking")
+        elif not uniform:
+            warnings.warn(
+                f"{fname}: non-uniform collisionObjectScale {list(cs)} — "
+                f"a scaled SDF is only a distance field under uniform "
+                f"scaling; rebaking over the scaled mesh instead of using "
+                f"the shipped field")
     # cubic Lagrange interpolation by default, like the reference's
     # Discregrid CubicLagrangeDiscreteGrid (SceneLoaderDemo.cpp:212-260);
     # "interpolationOrderSDF": 1 opts a scene back into trilinear (8
@@ -364,13 +370,22 @@ def load_scene_dict(data: dict, base_path: str = ".",
             local = {rid: k for k, rid in enumerate(rb_ids)}
             for k, jid in enumerate(j_ids):
                 jd = joints_by_id[jid]
+                b1, b2 = int(jd["bodyID1"]), int(jd["bodyID2"])
+                if b1 not in local or b2 not in local:
+                    import warnings
+                    warnings.warn(
+                        f"skipping CosseratJoint {jid}: endpoint "
+                        f"{b1 if b1 not in local else b2} is not in the "
+                        f"tree's rbIds")
+                    continue
                 positions.append(np.asarray(jd["position"], np.float64))
-                sa = rb_scale[int(jd["bodyID1"])]
-                sb = rb_scale[int(jd["bodyID2"])]
+                sa = rb_scale[b1]
+                sb = rb_scale[b2]
                 radii.append(0.125 * (sa[0] + sa[2] + sb[0] + sb[2]))
                 seg_lens.append(0.5 * (sa[1] + sb[1]))
-                edges.append((local[int(jd["bodyID1"])],
-                              local[int(jd["bodyID2"])]))
+                edges.append((local[b1], local[b2]))
+            if not edges:
+                continue
             is_path = len(edges) == len(rb_ids) - 1 and all(
                 e == (k, k + 1) for k, e in enumerate(edges))
             if is_path:

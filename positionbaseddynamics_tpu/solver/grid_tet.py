@@ -24,12 +24,17 @@ Per-cell rest data (inv rest matrix, rest volume) is congruent across
 cells of one parity, so it collapses to 2×5 host-side constants — no
 per-constraint parameter stream from HBM.
 
-Solve semantics are identical to the unstructured Jacobi path
-(``FEMTetraBatch`` + ``solver/step.py``): XPBD λ per tet reset per
-projection call, Jacobi averaging by per-vertex tet counts, and the
-reference's SVD inversion handling (``PositionBasedDynamics.cpp:
-1034-1106``) — computed lazily via ``lax.cond`` only when some tet is
-actually inverted, which never happens in ordinary bar bending.
+Solve semantics match the unstructured Jacobi path (``FEMTetraBatch`` +
+``solver/step.py``) — XPBD λ per tet reset per projection call, Jacobi
+averaging by per-vertex tet counts — with ONE documented divergence:
+the reference's SVD stress for inverted tets
+(``PositionBasedDynamics.cpp:1034-1106``) is select-based here and
+costs ~4× even when nothing inverts, so it is **opt-in**
+(``inversion_handling``, threaded through
+``SceneBuilder.add_solid_constraints``). Without inversions the two
+settings are bitwise identical; scenes that can invert tets should
+enable it (or use an irregular mesh to stay on the unstructured path,
+which always handles inversion).
 """
 from __future__ import annotations
 
