@@ -349,9 +349,14 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig,
     )
     orientations = o
     if o is not None:
-        oomega = integration.angular_velocity_update_first_order(
-            h, o.inv_mass, oq, old_q, oomega
-        )
+        if cfg.velocity_update_method == 1:
+            oomega = integration.angular_velocity_update_second_order(
+                h, o.inv_mass, oq, old_q, last_q, oomega
+            )
+        else:
+            oomega = integration.angular_velocity_update_first_order(
+                h, o.inv_mass, oq, old_q, oomega
+            )
         orientations = dataclasses.replace(
             o, q=oq, omega=oomega, old_q=old_q, last_q=last_q
         )
@@ -363,8 +368,12 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig,
         else:
             rv = integration.velocity_update_first_order(
                 h, r.inv_mass, rx, r_old_x, r.v)
-        romega = integration.angular_velocity_update_first_order(
-            h, r.inv_mass, rq, r_old_q, r.omega)
+        if cfg.velocity_update_method == 1:
+            romega = integration.angular_velocity_update_second_order(
+                h, r.inv_mass, rq, r_old_q, r_last_q, r.omega)
+        else:
+            romega = integration.angular_velocity_update_first_order(
+                h, r.inv_mass, rq, r_old_q, r.omega)
         rigid = dataclasses.replace(
             r, x=rx, q=rq, v=rv, omega=romega,
             old_x=r_old_x, last_x=r_last_x, old_q=r_old_q, last_q=r_last_q,
