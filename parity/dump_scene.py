@@ -195,3 +195,166 @@ def dump_balljoint(path, state, builder, substeps=5, max_iterations=1,
                      f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Contact oracle scenes (parity_runner2.cpp modes "rbcontact" /
+# "clothcontact" — BASELINE configs 4-5 class).
+# ---------------------------------------------------------------------------
+
+_BOX_HALF = (0.25, 0.25, 0.25)
+_FLOOR_HALF = (2.0, 0.5, 2.0)
+_SPHERE_R = 0.4
+
+
+def _box_corners(half):
+    hx, hy, hz = half
+    return np.array([[sx * hx, sy * hy, sz * hz]
+                     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                    np.float64)
+
+
+def _axis_angle_q(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    return np.concatenate([[np.cos(angle / 2)],
+                           np.sin(angle / 2) * axis])
+
+
+def build_rbcontact_scene():
+    """RigidBodyCollisionDemo-class scene: a tilted, spinning dynamic box
+    dropped on a static box floor. Returns (state, cset, builder,
+    pipeline); the collision pipeline carries the same vertex cloud the
+    oracle gets."""
+    from positionbaseddynamics_tpu.models import SceneBuilder
+
+    b = SceneBuilder()
+    floor = b.add_rigid_body((0.0, -0.5, 0.0), mass=0.0)
+    q0 = _axis_angle_q((1.0, 0.5, 0.3), 0.3)
+    m = 1.0
+    hx, hy, hz = _BOX_HALF
+    inertia = (m / 3.0 * (hy * hy + hz * hz),
+               m / 3.0 * (hx * hx + hz * hz),
+               m / 3.0 * (hx * hx + hy * hy))
+    box = b.add_rigid_body((0.0, 0.6, 0.0), q=q0, mass=m, inertia=inertia,
+                           velocity=(0.2, 0.0, -0.1), omega=(0.5, 1.0, 0.2))
+    # floor: SDF target only (testMesh=0 -> empty point cloud)
+    b.add_collision_box(floor, _FLOOR_HALF, verts=np.zeros((0, 3)),
+                        restitution=0.6, friction=0.2)
+    b.add_collision_box(box, _BOX_HALF, verts=_box_corners(_BOX_HALF),
+                        restitution=0.3, friction=0.2)
+    state, cset = b.build()
+    pipeline = b.build_collision_pipeline(tolerance=0.01,
+                                          max_collider_verts=None)
+    return state, cset, b, pipeline
+
+
+def dump_rbcontact(path, state, builder, substeps=5, max_iterations=1,
+                   max_iterations_v=5, dt=0.005, steps=50, tolerance=0.01,
+                   stiffness=1.0):
+    r = state.rigid
+    x = np.asarray(r.x, np.float64)
+    q = np.asarray(r.q, np.float64)
+    v = np.asarray(r.v, np.float64)
+    om = np.asarray(r.omega, np.float64)
+    w = np.asarray(r.inv_mass, np.float64)
+    mass = np.where(w > 0, 1.0 / np.maximum(w, 1e-30), 0.0)
+    inertia = np.asarray(r.inertia0, np.float64)
+    colliders = {c["body"]: c for c in builder._rb_colliders}
+    lines = ["rbcontact", f"{x.shape[0]}"]
+    for i in range(x.shape[0]):
+        c = colliders[i]
+        kind = c["shape"].kind
+        stype = {"box": 1, "sphere": 2}[kind]
+        p = np.asarray(c["shape"].params, np.float64)
+        p = np.concatenate([p, np.zeros(3)])[:3]
+        verts = c["verts"] if c["verts"] is not None else np.zeros((0, 3))
+        test_mesh = 1 if len(verts) else 0
+        lines.append(
+            f"{x[i,0]:.9g} {x[i,1]:.9g} {x[i,2]:.9g} "
+            f"{q[i,0]:.9g} {q[i,1]:.9g} {q[i,2]:.9g} {q[i,3]:.9g} "
+            f"{v[i,0]:.9g} {v[i,1]:.9g} {v[i,2]:.9g} "
+            f"{om[i,0]:.9g} {om[i,1]:.9g} {om[i,2]:.9g} "
+            f"{mass[i]:.9g} {inertia[i,0]:.9g} {inertia[i,1]:.9g} "
+            f"{inertia[i,2]:.9g} {c['restitution']:.9g} "
+            f"{c['friction']:.9g} {test_mesh} {stype} "
+            f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g} {len(verts)}")
+        for vv in np.asarray(verts, np.float64):
+            lines.append(f"{vv[0]:.9g} {vv[1]:.9g} {vv[2]:.9g}")
+    lines.append(f"{substeps} {max_iterations} {max_iterations_v} {dt} "
+                 f"{steps} {tolerance} {stiffness}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def build_clothcontact_scene(n=8):
+    """ClothCollisionDemo-class scene: a free horizontal XPBD-distance
+    cloth dropped on a static sphere."""
+    from positionbaseddynamics_tpu.models import SceneBuilder
+
+    b = SceneBuilder(use_structured_grid=False)
+    rot = np.array([[1.0, 0.0, 0.0],
+                    [0.0, 0.0, 1.0],
+                    [0.0, -1.0, 0.0]])  # grid plane -> horizontal
+    tm = b.add_regular_triangle_model(
+        n, n, translation=(-0.5, 0.7, 0.5), rotation=rot, scale=(1.0, 1.0))
+    b.add_cloth_constraints(tm, method=4, distance_stiffness=1e5)
+    sph = b.add_rigid_body((0.0, 0.0, 0.0), mass=0.0)
+    b.add_collision_sphere(sph, _SPHERE_R, verts=np.zeros((0, 3)),
+                           restitution=0.6, friction=0.2)
+    b.set_particle_collider(tm, restitution=0.3, friction=0.1)
+    state, cset = b.build()
+    pipeline = b.build_collision_pipeline(tolerance=0.01,
+                                          max_collider_verts=None)
+    return state, cset, b, pipeline
+
+
+def dump_clothcontact(path, state, cset, builder, substeps=5,
+                      max_iterations=1, max_iterations_v=5, dt=0.005,
+                      steps=50, tolerance=0.01, stiffness=100.0):
+    x = np.asarray(state.particles.x, np.float64)
+    w = np.asarray(state.particles.inv_mass, np.float64)
+    mass = np.where(w > 0, 1.0 / np.maximum(w, 1e-30), 0.0)
+    lines = ["clothcontact", f"{x.shape[0]}"]
+    for i in range(x.shape[0]):
+        lines.append(f"{x[i,0]:.9g} {x[i,1]:.9g} {x[i,2]:.9g} "
+                     f"{mass[i]:.9g}")
+    d = cset.distance
+    assert d is not None and d.xpbd
+    order = np.argsort(np.asarray(d.color), kind="stable")
+    idx = np.asarray(d.idx)[order]
+    rest = np.asarray(d.rest_length, np.float64)[order]
+    stiff = np.asarray(d.stiffness, np.float64)[order]
+    lines.append(f"{len(idx)}")
+    for c in range(len(idx)):
+        lines.append(f"{idx[c,0]} {idx[c,1]} {rest[c]:.9g} {stiff[c]:.9g}")
+
+    r = state.rigid
+    rx = np.asarray(r.x, np.float64)
+    rq = np.asarray(r.q, np.float64)
+    rv = np.asarray(r.v, np.float64)
+    rom = np.asarray(r.omega, np.float64)
+    rw = np.asarray(r.inv_mass, np.float64)
+    rmass = np.where(rw > 0, 1.0 / np.maximum(rw, 1e-30), 0.0)
+    rin = np.asarray(r.inertia0, np.float64)
+    colliders = {c["body"]: c for c in builder._rb_colliders}
+    lines.append(f"{rx.shape[0]}")
+    for i in range(rx.shape[0]):
+        c = colliders[i]
+        stype = {"box": 1, "sphere": 2}[c["shape"].kind]
+        p = np.asarray(c["shape"].params, np.float64)
+        p = np.concatenate([p, np.zeros(3)])[:3]
+        lines.append(
+            f"{rx[i,0]:.9g} {rx[i,1]:.9g} {rx[i,2]:.9g} "
+            f"{rq[i,0]:.9g} {rq[i,1]:.9g} {rq[i,2]:.9g} {rq[i,3]:.9g} "
+            f"{rv[i,0]:.9g} {rv[i,1]:.9g} {rv[i,2]:.9g} "
+            f"{rom[i,0]:.9g} {rom[i,1]:.9g} {rom[i,2]:.9g} "
+            f"{rmass[i]:.9g} {rin[i,0]:.9g} {rin[i,1]:.9g} {rin[i,2]:.9g} "
+            f"{c['restitution']:.9g} {c['friction']:.9g} 0 {stype} "
+            f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g} 0")
+    pg = builder._pg_colliders[0]
+    lines.append(f"{pg['restitution']:.9g} {pg['friction']:.9g}")
+    lines.append(f"{substeps} {max_iterations} {max_iterations_v} {dt} "
+                 f"{steps} {tolerance} {stiffness}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

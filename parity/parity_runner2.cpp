@@ -328,6 +328,369 @@ static int run_balljoint(FILE* f, FILE* out) {
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Contact oracle (BASELINE configs 4-5 class).
+//
+// The reference's Simulation layer cannot be compiled standalone (its
+// GenericParameters external is not in the tree), so the narrow phase
+// below re-implements DistanceFieldCollisionDetection's analytic-SDF
+// semantics line-for-line from the cited sources:
+//  - box distance: DistanceFieldCollisionBox::distance
+//    (DistanceFieldCollisionDetection.cpp:598-605), double precision,
+//    tolerance subtracted inside;
+//  - sphere: the SPECIALIZED DistanceFieldCollisionSphere::collisionTest
+//    (cp = (r+tol)*n exact normal, :614-631);
+//  - generic collisionTest: central-difference approximateNormal with
+//    eps=1e-6 in double, cp = x - dist*n (:684-728);
+//  - world<->local transform with identity main-axis/initial transform:
+//    x_l = R^T (x_w - com), n_w = R n_l (updateInverseTransformation,
+//    RigidBody.h:172-188);
+//  - pair dispatch: ordered pairs (i,k), i!=k, testMesh(i), skip if both
+//    static; restitution = product, friction = sum
+//    (DistanceFieldCollisionDetection.cpp:100-175);
+//  - contact ordering: pair-major, vertex-major (the BVH traversal
+//    order of the reference is an acceleration permutation of this).
+// The contact CONSTRAINT math is the compiled reference:
+// init_/velocitySolve_RigidBodyContactConstraint and the particle
+// variants (PositionBasedRigidBodyDynamics.cpp:2221-2560), driven with
+// TimeStepController::step semantics (substeps -> CD once per step ->
+// maxIterationsV sequential velocity sweeps, TimeStepController.cpp:
+// 75-241, 296-360) and SimulationModel contact stiffness defaults
+// (SimulationModel.cpp:56-57).
+// ---------------------------------------------------------------------------
+
+struct ShapeSpec {
+    int type;        // 1 = box (half extents), 2 = sphere (radius)
+    double p[3];
+
+    double distance(const Eigen::Vector3d& x, double tolerance) const {
+        if (type == 1) {
+            const Eigen::Vector3d d(std::fabs(x.x()) - p[0],
+                                    std::fabs(x.y()) - p[1],
+                                    std::fabs(x.z()) - p[2]);
+            const Eigen::Vector3d max_d(std::max(d.x(), 0.0),
+                                        std::max(d.y(), 0.0),
+                                        std::max(d.z(), 0.0));
+            return std::min(std::max(d.x(), std::max(d.y(), d.z())), 0.0)
+                + max_d.norm() - tolerance;
+        }
+        return x.norm() - p[0] - tolerance;
+    }
+
+    void approximateNormal(const Eigen::Vector3d& x, double tolerance,
+                           Vector3r& n) const {
+        const double eps = 1.e-6;
+        n.setZero();
+        Eigen::Vector3d xTmp = x;
+        for (unsigned int j = 0; j < 3; j++) {
+            xTmp[j] += eps;
+            const double e_p = distance(xTmp, tolerance);
+            xTmp[j] = x[j] - eps;
+            const double e_m = distance(xTmp, tolerance);
+            xTmp[j] = x[j];
+            n[j] = (Real)((e_p - e_m) * (1.0 / (2.0 * eps)));
+        }
+        const Real norm2 = n.squaredNorm();
+        if (norm2 < 1.e-6) n.setZero();
+        else n = n / std::sqrt(norm2);
+    }
+
+    bool collisionTest(const Vector3r& x, Real tolerance, Vector3r& cp,
+                       Vector3r& n, Real& dist) const {
+        if (type == 2) {
+            // DistanceFieldCollisionSphere::collisionTest specialization
+            const Real dl = x.norm();
+            dist = dl - (Real)p[0] - tolerance;
+            if (dist < 0.0) {
+                if (dl < 1.e-6) n.setZero();
+                else n = x / dl;
+                cp = ((Real)p[0] + tolerance) * n;
+                return true;
+            }
+            return false;
+        }
+        dist = (Real)distance(x.template cast<double>(), (double)tolerance);
+        if (dist < 0.0) {
+            approximateNormal(x.template cast<double>(), (double)tolerance, n);
+            cp = x - dist * n;
+            return true;
+        }
+        return false;
+    }
+};
+
+struct ContactBody {
+    Vector3r x, v, omega, oldX, inertia0;
+    Quaternionr q, oldQ;
+    Real mass, invMass, restitution, friction;
+    int testMesh;
+    ShapeSpec shape;
+    std::vector<Vector3r> verts;   // body-frame surface samples
+    Matrix3r inertiaW, invInertiaW;
+
+    void rotationUpdated() {
+        if (mass != 0.0) {
+            const Matrix3r rot = q.matrix();
+            inertiaW = rot * inertia0.asDiagonal() * rot.transpose();
+            Vector3r inv(1.0 / inertia0[0], 1.0 / inertia0[1],
+                         1.0 / inertia0[2]);
+            invInertiaW = rot * inv.asDiagonal() * rot.transpose();
+        } else {
+            inertiaW.setZero();
+            invInertiaW.setZero();
+        }
+    }
+};
+
+static void read_contact_bodies(FILE* f, std::vector<ContactBody>& bodies) {
+    int nbod; std::fscanf(f, "%d", &nbod);
+    bodies.resize(nbod);
+    for (int i = 0; i < nbod; i++) {
+        ContactBody& b = bodies[i];
+        double px, py, pz, qw, qx, qy, qz, vx, vy, vz, wx, wy, wz;
+        double m, ix, iy, iz, rest, fric, s0, s1, s2;
+        int nverts;
+        std::fscanf(f,
+            "%lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf "
+            "%lf %lf %lf %lf %lf %lf %d %d %lf %lf %lf %d",
+            &px, &py, &pz, &qw, &qx, &qy, &qz, &vx, &vy, &vz,
+            &wx, &wy, &wz, &m, &ix, &iy, &iz, &rest, &fric,
+            &b.testMesh, &b.shape.type, &s0, &s1, &s2, &nverts);
+        b.x = Vector3r((Real)px, (Real)py, (Real)pz);
+        b.q = Quaternionr((Real)qw, (Real)qx, (Real)qy, (Real)qz);
+        b.v = Vector3r((Real)vx, (Real)vy, (Real)vz);
+        b.omega = Vector3r((Real)wx, (Real)wy, (Real)wz);
+        b.mass = (Real)m;
+        b.invMass = m != 0.0 ? (Real)(1.0 / m) : (Real)0.0;
+        b.inertia0 = Vector3r((Real)ix, (Real)iy, (Real)iz);
+        b.restitution = (Real)rest;
+        b.friction = (Real)fric;
+        b.shape.p[0] = s0; b.shape.p[1] = s1; b.shape.p[2] = s2;
+        b.verts.resize(nverts);
+        for (int k = 0; k < nverts; k++) {
+            double ax, ay, az;
+            std::fscanf(f, "%lf %lf %lf", &ax, &ay, &az);
+            b.verts[k] = Vector3r((Real)ax, (Real)ay, (Real)az);
+        }
+        b.rotationUpdated();
+    }
+}
+
+struct RbContact {
+    int b0, b1;
+    Real sumImpulses, friction;
+    Eigen::Matrix<Real, 3, 5, Eigen::DontAlign> info;
+};
+
+// rb-rb narrow phase for one ordered pair (brute force over body0's
+// vertex cloud; collisionDetectionRigidBodies semantics)
+static void narrow_rb_pair(const ContactBody& b0, int i0,
+                           const ContactBody& b1, int i1, Real tolerance,
+                           std::vector<RbContact>& out) {
+    if (b0.mass == 0.0 && b1.mass == 0.0) return;
+    const Matrix3r R1t = b1.q.matrix().transpose();   // world -> local
+    const Real rest = b0.restitution * b1.restitution;
+    const Real fric = b0.friction + b1.friction;
+    const Matrix3r R0 = b0.q.matrix();
+    for (size_t k = 0; k < b0.verts.size(); k++) {
+        const Vector3r x_w = R0 * b0.verts[k] + b0.x;
+        const Vector3r x_l = R1t * (x_w - b1.x);
+        Vector3r cp, n; Real dist;
+        if (b1.shape.collisionTest(x_l, tolerance, cp, n, dist)) {
+            const Vector3r cp_w = b1.q.matrix() * cp + b1.x;
+            const Vector3r n_w = b1.q.matrix() * n;
+            RbContact c;
+            c.b0 = i0; c.b1 = i1;
+            c.sumImpulses = 0.0;
+            c.friction = fric;
+            PositionBasedRigidBodyDynamics::init_RigidBodyContactConstraint(
+                b0.invMass, b0.x, b0.v, b0.invInertiaW, b0.q, b0.omega,
+                b1.invMass, b1.x, b1.v, b1.invInertiaW, b1.q, b1.omega,
+                x_w, cp_w, n_w, rest, c.info);
+            out.push_back(c);
+        }
+    }
+}
+
+static int run_rbcontact(FILE* f, FILE* out) {
+    std::vector<ContactBody> bodies;
+    read_contact_bodies(f, bodies);
+    int substeps, maxIter, maxIterV, steps; double dt_d, tol_d, stiff_d;
+    std::fscanf(f, "%d %d %d %lf %d %lf %lf", &substeps, &maxIter,
+                &maxIterV, &dt_d, &steps, &tol_d, &stiff_d);
+    const Real h = (Real)dt_d / (Real)substeps;
+    const Real tol = (Real)tol_d;
+    const Real stiffness = (Real)stiff_d;
+
+    for (int step = 0; step < steps; step++) {
+        for (int sub = 0; sub < substeps; sub++) {
+            for (auto& b : bodies) {
+                b.oldX = b.x;
+                Vector3r acc = b.mass != 0.0 ? GRAVITY : Vector3r::Zero();
+                TimeIntegration::semiImplicitEuler(h, b.mass, b.x, b.v, acc);
+                b.oldQ = b.q;
+                TimeIntegration::semiImplicitEulerRotation(
+                    h, b.mass, b.inertiaW, b.invInertiaW, b.q, b.omega,
+                    Vector3r(0, 0, 0));
+                b.rotationUpdated();
+            }
+            // (no position constraints in this mode)
+            for (auto& b : bodies) {
+                TimeIntegration::velocityUpdateFirstOrder(h, b.mass, b.x,
+                                                          b.oldX, b.v);
+                TimeIntegration::angularVelocityUpdateFirstOrder(
+                    h, b.mass, b.q, b.oldQ, b.omega);
+            }
+        }
+        // collision detection once per step (TimeStepController.cpp:189)
+        std::vector<RbContact> contacts;
+        for (size_t i = 0; i < bodies.size(); i++)
+            for (size_t k = 0; k < bodies.size(); k++)
+                if (i != k && bodies[i].testMesh)
+                    narrow_rb_pair(bodies[i], (int)i, bodies[k], (int)k,
+                                   tol, contacts);
+        // velocity solve: maxIterationsV sequential sweeps
+        for (int it = 0; it < maxIterV; it++)
+            for (auto& c : contacts) {
+                ContactBody& b0 = bodies[c.b0];
+                ContactBody& b1 = bodies[c.b1];
+                Vector3r cv0, com0, cv1, com1;
+                if (PositionBasedRigidBodyDynamics::
+                        velocitySolve_RigidBodyContactConstraint(
+                            b0.invMass, b0.x, b0.v, b0.invInertiaW, b0.omega,
+                            b1.invMass, b1.x, b1.v, b1.invInertiaW, b1.omega,
+                            stiffness, c.friction, c.sumImpulses, c.info,
+                            cv0, com0, cv1, com1)) {
+                    if (b0.mass != 0.0) { b0.v += cv0; b0.omega += com0; }
+                    if (b1.mass != 0.0) { b1.v += cv1; b1.omega += com1; }
+                }
+            }
+    }
+    for (auto& b : bodies)
+        std::fprintf(out,
+            "%.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g "
+            "%.9g %.9g %.9g\n",
+            (double)b.x[0], (double)b.x[1], (double)b.x[2],
+            (double)b.q.w(), (double)b.q.x(), (double)b.q.y(),
+            (double)b.q.z(), (double)b.v[0], (double)b.v[1],
+            (double)b.v[2], (double)b.omega[0], (double)b.omega[1],
+            (double)b.omega[2]);
+    return 0;
+}
+
+struct PrbContact {
+    int pi, b1;
+    Real sumImpulses, friction;
+    Eigen::Matrix<Real, 3, 5, Eigen::DontAlign> info;
+};
+
+static int run_clothcontact(FILE* f, FILE* out) {
+    int n; std::fscanf(f, "%d", &n);
+    Particles pd; pd.read(f, n);
+    int nd; std::fscanf(f, "%d", &nd);
+    std::vector<std::array<int, 2>> di(nd);
+    std::vector<Real> rest(nd), stiff(nd), lam(nd);
+    for (int c = 0; c < nd; c++) {
+        double r, s;
+        std::fscanf(f, "%d %d %lf %lf", &di[c][0], &di[c][1], &r, &s);
+        rest[c] = (Real)r; stiff[c] = (Real)s;
+    }
+    std::vector<ContactBody> bodies;
+    read_contact_bodies(f, bodies);
+    double grest_d, gfric_d;
+    std::fscanf(f, "%lf %lf", &grest_d, &gfric_d);
+    const Real grest = (Real)grest_d, gfric = (Real)gfric_d;
+    int substeps, maxIter, maxIterV, steps; double dt_d, tol_d, stiff_d;
+    std::fscanf(f, "%d %d %d %lf %d %lf %lf", &substeps, &maxIter,
+                &maxIterV, &dt_d, &steps, &tol_d, &stiff_d);
+    const Real h = (Real)dt_d / (Real)substeps;
+    const Real tol = (Real)tol_d;
+    const Real cstiff = (Real)stiff_d;
+
+    for (int step = 0; step < steps; step++) {
+        for (int sub = 0; sub < substeps; sub++) {
+            pd.integrate(h);
+            for (auto& b : bodies) {
+                b.oldX = b.x;
+                Vector3r acc = b.mass != 0.0 ? GRAVITY : Vector3r::Zero();
+                TimeIntegration::semiImplicitEuler(h, b.mass, b.x, b.v, acc);
+                b.oldQ = b.q;
+                TimeIntegration::semiImplicitEulerRotation(
+                    h, b.mass, b.inertiaW, b.invInertiaW, b.q, b.omega,
+                    Vector3r(0, 0, 0));
+                b.rotationUpdated();
+            }
+            for (int c = 0; c < nd; c++) lam[c] = 0.0;  // iter==0 reset
+            for (int it = 0; it < maxIter; it++)
+                for (int c = 0; c < nd; c++) {
+                    Vector3r corr1, corr2;
+                    if (XPBD::solve_DistanceConstraint(
+                            pd.x[di[c][0]], pd.invMass[di[c][0]],
+                            pd.x[di[c][1]], pd.invMass[di[c][1]],
+                            rest[c], stiff[c], h, lam[c], corr1, corr2)) {
+                        if (pd.invMass[di[c][0]] != 0.0)
+                            pd.x[di[c][0]] += corr1;
+                        if (pd.invMass[di[c][1]] != 0.0)
+                            pd.x[di[c][1]] += corr2;
+                    }
+                }
+            pd.velocityUpdate(h);
+            for (auto& b : bodies) {
+                TimeIntegration::velocityUpdateFirstOrder(h, b.mass, b.x,
+                                                          b.oldX, b.v);
+                TimeIntegration::angularVelocityUpdateFirstOrder(
+                    h, b.mass, b.q, b.oldQ, b.omega);
+            }
+        }
+        // CD: every particle vs every rigid SDF
+        // (collisionDetectionRBSolid, body order then particle order)
+        std::vector<PrbContact> contacts;
+        for (size_t bi = 0; bi < bodies.size(); bi++) {
+            ContactBody& b1 = bodies[bi];
+            const Matrix3r R1t = b1.q.matrix().transpose();
+            const Real restC = grest * b1.restitution;
+            const Real fricC = gfric + b1.friction;
+            for (int p = 0; p < n; p++) {
+                const Vector3r x_l = R1t * (pd.x[p] - b1.x);
+                Vector3r cp, nrm; Real dist;
+                if (b1.shape.collisionTest(x_l, tol, cp, nrm, dist)) {
+                    const Vector3r cp_w = b1.q.matrix() * cp + b1.x;
+                    const Vector3r n_w = b1.q.matrix() * nrm;
+                    PrbContact c;
+                    c.pi = p; c.b1 = (int)bi;
+                    c.sumImpulses = 0.0; c.friction = fricC;
+                    PositionBasedRigidBodyDynamics::
+                        init_ParticleRigidBodyContactConstraint(
+                            pd.invMass[p], pd.x[p], pd.v[p],
+                            b1.invMass, b1.x, b1.v, b1.invInertiaW, b1.q,
+                            b1.omega, pd.x[p], cp_w, n_w, restC, c.info);
+                    contacts.push_back(c);
+                }
+            }
+        }
+        for (int it = 0; it < maxIterV; it++)
+            for (auto& c : contacts) {
+                ContactBody& b1 = bodies[c.b1];
+                Vector3r cv0, cv1, com1;
+                if (PositionBasedRigidBodyDynamics::
+                        velocitySolve_ParticleRigidBodyContactConstraint(
+                            pd.invMass[c.pi], pd.x[c.pi], pd.v[c.pi],
+                            b1.invMass, b1.x, b1.v, b1.invInertiaW, b1.omega,
+                            cstiff, c.friction, c.sumImpulses, c.info,
+                            cv0, cv1, com1)) {
+                    if (pd.invMass[c.pi] != 0.0) pd.v[c.pi] += cv0;
+                    if (b1.mass != 0.0) { b1.v += cv1; b1.omega += com1; }
+                }
+            }
+    }
+    for (int i = 0; i < n; i++)
+        std::fprintf(out, "%.9g %.9g %.9g %.9g %.9g %.9g\n",
+                     (double)pd.x[i][0], (double)pd.x[i][1],
+                     (double)pd.x[i][2], (double)pd.v[i][0],
+                     (double)pd.v[i][1], (double)pd.v[i][2]);
+    return 0;
+}
+
 int main(int argc, char** argv) {
     if (argc < 3) { std::fprintf(stderr, "usage: %s in out\n", argv[0]); return 1; }
     FILE* f = std::fopen(argv[1], "r");
@@ -339,6 +702,8 @@ int main(int argc, char** argv) {
     if (!std::strcmp(mode, "femtet")) rc = run_femtet(f, out);
     else if (!std::strcmp(mode, "rod")) rc = run_rod(f, out);
     else if (!std::strcmp(mode, "balljoint")) rc = run_balljoint(f, out);
+    else if (!std::strcmp(mode, "rbcontact")) rc = run_rbcontact(f, out);
+    else if (!std::strcmp(mode, "clothcontact")) rc = run_clothcontact(f, out);
     else std::fprintf(stderr, "unknown mode %s\n", mode);
     std::fclose(f);
     std::fclose(out);

@@ -67,6 +67,79 @@ def solve_rigid_contacts(c: RigidContacts, rx, rv, rom, inv_mass, inv_iw,
     return rv, rom, sum_impulses
 
 
+def _impulse_row(normal, tangent, nkn_inv, p_max, goal_u_n, cp0, cp1,
+                 mask, u_rel, sum_i, stiffness, friction):
+    """Scalar-row form of :func:`_impulse` for the sequential solver."""
+    u_rel_n = jnp.sum(normal * u_rel)
+    corr = nkn_inv * (goal_u_n - u_rel_n)
+    corr = jnp.maximum(corr, -sum_i)
+    d = jnp.sum(normal * (cp0 - cp1))
+    corr = corr - jnp.where(d < 0.0, stiffness * nkn_inv * d, 0.0)
+    new_sum = sum_i + corr * mask
+    p = corr * normal
+    pn = corr
+    ft = jnp.where(friction * pn > p_max, p_max,
+                   jnp.where(friction * pn < -p_max, -p_max, friction * pn))
+    p = p - ft * tangent
+    return p * mask, new_sum
+
+
+def solve_rigid_contacts_sequential(c: RigidContacts, rx, rv, rom, inv_mass,
+                                    inv_iw, sum_impulses, stiffness):
+    """Sequential (Gauss-Seidel) pass over the rb–rb contact rows in
+    buffer order — exactly the reference's per-contact in-place sweep
+    (``TimeStepController::velocityConstraintProjection``,
+    ``TimeStepController.cpp:330-343``). A parity mode: one
+    ``lax.scan`` step per row, so use for small contact counts only."""
+
+    def body(carry, row):
+        rv, rom, _ = carry
+        (b0, b1, cp0, cp1, n, t, nkn_inv, p_max, goal, fric, mask,
+         sum_i) = row
+        r0 = cp0 - rx[b0]
+        r1 = cp1 - rx[b1]
+        u_rel = (rv[b0] + jnp.cross(rom[b0], r0)
+                 - rv[b1] - jnp.cross(rom[b1], r1))
+        p, new_sum = _impulse_row(n, t, nkn_inv, p_max, goal, cp0, cp1,
+                                  mask, u_rel, sum_i, stiffness, fric)
+        rv = rv.at[b0].add(inv_mass[b0] * p)
+        rom = rom.at[b0].add(inv_iw[b0] @ jnp.cross(r0, p))
+        rv = rv.at[b1].add(-inv_mass[b1] * p)
+        rom = rom.at[b1].add(inv_iw[b1] @ jnp.cross(r1, -p))
+        return (rv, rom, new_sum), new_sum
+
+    rows = (c.body0, c.body1, c.cp0, c.cp1, c.normal, c.tangent, c.nkn_inv,
+            c.p_max, c.goal_u_n, c.friction, c.mask, sum_impulses)
+    (rv, rom, _), new_sums = jax.lax.scan(body, (rv, rom, 0.0), rows)
+    return rv, rom, new_sums
+
+
+def solve_particle_rigid_contacts_sequential(
+        c: ParticleRigidContacts, px, pv, p_inv_mass, rx, rv, rom, inv_mass,
+        inv_iw, sum_impulses, stiffness):
+    """Sequential particle–rigid contact sweep (parity mode; see
+    :func:`solve_rigid_contacts_sequential`)."""
+
+    def body(carry, row):
+        pv, rv, rom, _ = carry
+        (pi, b1, cp0, cp1, n, t, nkn_inv, p_max, goal, fric, mask,
+         sum_i) = row
+        r1 = cp1 - rx[b1]
+        u_rel = pv[pi] - (rv[b1] + jnp.cross(rom[b1], r1))
+        p, new_sum = _impulse_row(n, t, nkn_inv, p_max, goal, cp0, cp1,
+                                  mask, u_rel, sum_i, stiffness, fric)
+        pv = pv.at[pi].add(p_inv_mass[pi] * p)
+        rv = rv.at[b1].add(-inv_mass[b1] * p)
+        rom = rom.at[b1].add(inv_iw[b1] @ jnp.cross(r1, -p))
+        return (pv, rv, rom, new_sum), new_sum
+
+    rows = (c.particle, c.body1, c.cp0, c.cp1, c.normal, c.tangent,
+            c.nkn_inv, c.p_max, c.goal_u_n, c.friction, c.mask,
+            sum_impulses)
+    (pv, rv, rom, _), new_sums = jax.lax.scan(body, (pv, rv, rom, 0.0), rows)
+    return pv, rv, rom, new_sums
+
+
 def solve_particle_rigid_contacts(c: ParticleRigidContacts, px, pv,
                                   p_inv_mass, rx, rv, rom, inv_mass, inv_iw,
                                   sum_impulses, stiffness):

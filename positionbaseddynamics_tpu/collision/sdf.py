@@ -95,6 +95,59 @@ def sdf_plane(p: Array, normal, offset) -> Array:
     return p @ normal - offset
 
 
+def _normalize_or_zero(v: Array) -> Array:
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return jnp.where(n2 < 1e-12, 0.0, v / jnp.sqrt(jnp.maximum(n2, 1e-30)))
+
+
+def _box_gradient(p: Array, half) -> Array:
+    """Exact gradient of :func:`sdf_box`: outside, the normalized
+    positive-part vector (signed per axis); inside, ±1 on the max-d
+    axis."""
+    d = jnp.abs(p) - half
+    outside = jnp.any(d > 0.0, axis=-1, keepdims=True)
+    g_out = _normalize_or_zero(jnp.maximum(d, 0.0) * jnp.sign(p))
+    amax = jnp.argmax(d, axis=-1)
+    onehot = jax.nn.one_hot(amax, 3, dtype=p.dtype)
+    g_in = onehot * jnp.sign(p)
+    return jnp.where(outside, g_out, g_in)
+
+
+def _cylinder_gradient(p: Array, radius, half_height) -> Array:
+    """Exact gradient of :func:`sdf_cylinder` (2-D box logic over
+    (radial, axial))."""
+    l = jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2)
+    radial = jnp.where(
+        l[..., None] < 1e-12, 0.0,
+        jnp.stack([p[..., 0], jnp.zeros_like(l), p[..., 2]], -1)
+        / jnp.maximum(l, 1e-30)[..., None])
+    axial = jnp.stack([jnp.zeros_like(l), jnp.sign(p[..., 1]),
+                       jnp.zeros_like(l)], -1)
+    dr = l - radius
+    dy = jnp.abs(p[..., 1]) - half_height
+    g2 = jnp.stack([jnp.maximum(dr, 0.0), jnp.maximum(dy, 0.0)], -1)
+    g2n = jnp.sqrt(jnp.maximum(jnp.sum(g2 * g2, -1), 1e-30))
+    outside = (dr > 0.0) | (dy > 0.0)
+    g_out = (g2[..., 0:1] * radial + g2[..., 1:2] * axial) / g2n[..., None]
+    g_in = jnp.where((dr > dy)[..., None], radial, axial)
+    return jnp.where(outside[..., None], g_out, g_in)
+
+
+def _torus_gradient(p: Array, major_r, minor_r) -> Array:
+    l = jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2)
+    radial = jnp.where(
+        l[..., None] < 1e-12, 0.0,
+        jnp.stack([p[..., 0], jnp.zeros_like(l), p[..., 2]], -1)
+        / jnp.maximum(l, 1e-30)[..., None])
+    qx = l - major_r
+    qy = p[..., 1]
+    qn = jnp.sqrt(jnp.maximum(qx * qx + qy * qy, 1e-30))
+    up = jnp.stack([jnp.zeros_like(l), jnp.ones_like(l),
+                    jnp.zeros_like(l)], -1)
+    g = (qx[..., None] * radial + qy[..., None] * up) / qn[..., None]
+    return jnp.where((qx * qx + qy * qy)[..., None] < 1e-12, 0.0, g)
+
+
 # ---------------------------------------------------------------------------
 # Shape pytrees
 # ---------------------------------------------------------------------------
@@ -222,16 +275,41 @@ class SDFShape:
         return self.invert * d
 
     def normal(self, p: Array, eps: float = 1.0e-4) -> Array:
-        """Central-difference gradient, normalized; zero where degenerate
-        (``approximateNormal``, ``DistanceFieldCollisionDetection.cpp:684``).
-        ``eps`` is larger than the reference's 1e-6 because we evaluate in
-        float32 rather than double."""
-        offs = jnp.eye(3, dtype=p.dtype) * eps
-        dp = self.distance(p[..., None, :] + offs)   # (..., 3)
-        dm = self.distance(p[..., None, :] - offs)
-        g = (dp - dm) / (2.0 * eps)
-        n2 = jnp.sum(g * g, axis=-1, keepdims=True)
-        return jnp.where(n2 < 1e-12, 0.0, g / jnp.sqrt(jnp.maximum(n2, 1e-30)))
+        """Outward normal (normalized SDF gradient), zero where
+        degenerate. Analytic shapes use their exact gradients — the
+        reference's double-precision central difference
+        (``approximateNormal``, ``DistanceFieldCollisionDetection.cpp:684``)
+        recovers exactly these at smooth points, and its sphere override
+        (``:614-631``) IS the exact normal; evaluating the difference in
+        float32 instead would put ~1e-3 cancellation noise on the normal.
+        Grid SDFs keep the central difference (``eps`` larger than the
+        reference's 1e-6 because the field is stored in float32)."""
+        k, pr = self.kind, self.params
+        if k == SPHERE:
+            g = _normalize_or_zero(p)
+        elif k == BOX:
+            g = _box_gradient(p, pr[:3])
+        elif k == PLANE:
+            g = jnp.broadcast_to(pr[:3], p.shape)
+        elif k == CYLINDER:
+            g = _cylinder_gradient(p, pr[0], pr[1])
+        elif k == TORUS:
+            g = _torus_gradient(p, pr[0], pr[1])
+        elif k == HOLLOW_SPHERE:
+            s = jnp.sign(jnp.linalg.norm(p, axis=-1) - pr[0])[..., None]
+            g = s * _normalize_or_zero(p)
+        elif k == HOLLOW_BOX:
+            s = jnp.sign(sdf_box(p, pr[:3]))[..., None]
+            g = s * _box_gradient(p, pr[:3])
+        else:
+            offs = jnp.eye(3, dtype=p.dtype) * eps
+            dp = self.distance(p[..., None, :] + offs)   # (..., 3)
+            dm = self.distance(p[..., None, :] - offs)
+            g = (dp - dm) / (2.0 * eps)
+            n2 = jnp.sum(g * g, axis=-1, keepdims=True)
+            return jnp.where(n2 < 1e-12, 0.0,
+                             g / jnp.sqrt(jnp.maximum(n2, 1e-30)))
+        return self.invert * g
 
 
 def shape_bounding_radius(shape: SDFShape) -> float:

@@ -58,6 +58,11 @@ class StepConfig:
     joint_solver_mode: str = "gauss_seidel"
     contact_stiffness_rb: float = 1.0       # SimulationModel contactStiffnessRigidBody
     contact_stiffness_particle_rb: float = 100.0
+    # "jacobi" solves all contact rows simultaneously per velocity pass
+    # (the TPU mode); "gauss_seidel" sweeps rows sequentially in buffer
+    # order, matching the reference's in-place per-contact loop
+    # (TimeStepController.cpp:330-343) for trajectory parity.
+    contact_solver_mode: str = "jacobi"
 
 
 def _jacobi_counts(n: int, idx: Array) -> Array:
@@ -436,12 +441,18 @@ def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
                     r.x, r.q, rv, romega, r.inv_mass, iw, state.time)
                 rv = rv + scatter_add(nr, jb.bodies, corr_v)
                 romega = romega + scatter_add(nr, jb.bodies, corr_om)
+        sequential = cfg.contact_solver_mode == "gauss_seidel"
         if rc is not None:
-            rv, romega, rc_sum = contact_ops.solve_rigid_contacts(
+            solve_rc = (contact_ops.solve_rigid_contacts_sequential
+                        if sequential else contact_ops.solve_rigid_contacts)
+            rv, romega, rc_sum = solve_rc(
                 rc, r.x, rv, romega, r.inv_mass, iw, rc_sum,
                 cfg.contact_stiffness_rb)
         if pc is not None:
-            pv, rv, romega, pc_sum = contact_ops.solve_particle_rigid_contacts(
+            solve_pc = (contact_ops.solve_particle_rigid_contacts_sequential
+                        if sequential
+                        else contact_ops.solve_particle_rigid_contacts)
+            pv, rv, romega, pc_sum = solve_pc(
                 pc, px, pv, p.inv_mass, r.x, rv, romega, r.inv_mass, iw,
                 pc_sum, cfg.contact_stiffness_particle_rb)
     state = dataclasses.replace(
