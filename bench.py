@@ -266,6 +266,11 @@ def main():
                     help="attempt buffer donation of the state (known to "
                          "fail with INVALID_ARGUMENT on tunneled axon "
                          "backends; reports instead of crashing)")
+    ap.add_argument("--fuse", dest="fuse", action="store_true",
+                    default=True,
+                    help="run all substeps inside one Pallas kernel pass "
+                         "per block (PERF.md lever 2; default on)")
+    ap.add_argument("--no-fuse", dest="fuse", action="store_false")
     ap.add_argument("--check", action="store_true",
                     help="ON-DEVICE numerical check: run 10 steps on both "
                          "the Pallas and jnp paths on this backend and "
@@ -312,7 +317,8 @@ def main():
         pstep = make_pallas_cloth_step(
             gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
             dt=cfg.dt, substeps=cfg.substeps,
-            max_iterations=cfg.max_iterations, n_steps=10)
+            max_iterations=cfg.max_iterations, n_steps=10,
+            fuse_substeps=args.fuse)
         x, v = pstep(state.particles.x, state.particles.v)
         fin, _ = jax.jit(lambda s: rollout(s, cset, cfg, 10))(state)
         dev = float(_np.abs(_np.asarray(x)
@@ -353,7 +359,7 @@ def main():
                 gc, state.particles.inv_mass, gc.inv_cnt_dist,
                 gc.inv_cnt_bend, dt=cfg.dt, substeps=cfg.substeps,
                 max_iterations=cfg.max_iterations, n_batch=args.batch,
-                n_steps=args.steps_per_call)
+                n_steps=args.steps_per_call, fuse_substeps=args.fuse)
         except NotImplementedError as e:
             if args.pallas:        # explicitly forced
                 raise

@@ -138,9 +138,10 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
                            max_iterations: int = 1,
                            gravity=(0.0, -9.81, 0.0),
                            damping: float = 0.0,
-                           block_rows: int = 64,
+                           block_rows: int = None,
                            n_batch: int = 1,
-                           n_steps: int = 1):
+                           n_steps: int = 1,
+                           fuse_substeps: bool = False):
     """Build ``step(x (N, 3), v (N, 3)) -> (x, v)``: one flat scan of
     ``n_steps·substeps`` fused Pallas substep kernels. Requires a
     uniform-parameter grid batch covering particles ``[0, H*W)`` (the
@@ -162,9 +163,21 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         raise NotImplementedError("XPBD families only")
 
     wp_pad = _round_up(w_grid, 128)
+    if block_rows is None:
+        # measured sweep (PERF.md): 64 is best for the per-substep
+        # kernel (halo 8); the fused kernel's halo-16 redundancy favors
+        # 80-row blocks (windows of 112 rows; >=96 overflows VMEM with
+        # the hoisted parameter planes)
+        block_rows = 80 if fuse_substeps else 64
     br = min(block_rows, _round_up(h_grid, 8))
     hp_pad = _round_up(h_grid, br)          # content rows, in whole blocks
-    halo = _round_up(3 * max_iterations + 1, 8)
+    # PERF.md lever 2 (multi-substep kernel): run all ``substeps``
+    # inside one kernel pass per block. The per-substep influence radius
+    # is 3 rows (distance ±1 then bending ±2, applied sequentially), so
+    # a halo of 3·iters·S rows of redundant compute buys removing S−1 of
+    # S HBM round trips per step.
+    fused = substeps if fuse_substeps else 1
+    halo = _round_up(3 * max_iterations * fused + 1, 8)
     h_tot = hp_pad + 2 * halo               # stored rows incl. margins
     h_win = br + 2 * halo                   # VMEM window rows
     n_blocks = hp_pad // br
@@ -196,36 +209,6 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         if dj:
             p = _roll(p, -dj, 1)
         return p
-
-    def _scatter(acc, c, di, dj):
-        """acc[i+di, j+dj] += c[i, j] for every constraint cell (c is
-        already masked, so wrapped lanes add zero)."""
-        if di:
-            c = _roll(c, di, 0)
-        if dj:
-            c = _roll(c, dj, 1)
-        return acc + c
-
-    def _blend_gather(planes, blend, par):
-        """Gather one stencil point for each plane in ``planes``."""
-        wsel = {"1": None, "p": par, "q": 1.0 - par}
-        outs = []
-        for p in planes:
-            acc = None
-            for wname, (di, dj) in blend:
-                term = _shift(p, di, dj)
-                if wsel[wname] is not None:
-                    term = term * wsel[wname]
-                acc = term if acc is None else acc + term
-            outs.append(acc)
-        return outs
-
-    def _blend_scatter(acc, c, blend, par):
-        wsel = {"1": None, "p": par, "q": 1.0 - par}
-        for wname, (di, dj) in blend:
-            term = c if wsel[wname] is None else c * wsel[wname]
-            acc = _scatter(acc, term, di, dj)
-        return acc
 
     def _fam_mask(spec, i_idx, j_idx):
         mi, mj = spec
@@ -320,89 +303,194 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         icd = bufs[7][:]
         icb = bufs[8][:]
 
-        # -- semi-implicit Euler (gravity only), static particles frozen
-        old = list(xc)
-        vc = [vci + (h_sub * gci) * dyn for vci, gci in zip(vc, (gx, gy, gz))]
-        xc = [xci + h_sub * dyn * vci for xci, vci in zip(xc, vc)]
+        # ---- hoisted position-independent planes. The kernel is
+        # VPU-compute-bound (measured: batched aggregate saturates far
+        # below HBM speed-of-light), so everything that does not depend
+        # on positions — family masks, inverse-mass stencil gathers, the
+        # distance denominators 1/(wa+wb+α), the bending w·S products —
+        # is computed once per block pass instead of per substep. ----
+        qar = 1.0 - par
 
-        lams = {f: jnp.zeros((h_win, wp_pad), jnp.float32)
-                for f in ("h", "v", "d", "bh", "bv", "bd")}
+        def _blend_w(blend):
+            acc = None
+            for wname, (di, dj) in blend:
+                term = _shift(w, di, dj)
+                if wname == "p":
+                    term = term * par
+                elif wname == "q":
+                    term = term * qar
+                acc = term if acc is None else acc + term
+            return acc
 
-        for _i in range(max_iterations):
-            # ---- distance families (XPBD.cpp:14-60) ----
-            accs = [jnp.zeros((h_win, wp_pad), jnp.float32)
-                    for _j in range(3)]
-            for fam in ("h", "v", "d"):
-                spec = _DIST[fam]
-                m = _fam_mask(spec["mask"], i_idx, j_idx)
-                pa = _blend_gather(xc + [w], spec["a"], par)
-                pb = _blend_gather(xc + [w], spec["b"], par)
-                wa, wb = pa[3], pb[3]
-                nx = pa[0] - pb[0]
-                ny = pa[1] - pb[1]
-                nz = pa[2] - pb[2]
-                d = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-                c = d - rest[fam]
-                k = wa + wb + alpha_d[fam]
-                valid = (d > 1e-6) & (jnp.abs(k) > 1e-6)
-                dlam = jnp.where(valid,
-                                 -(c + alpha_d[fam] * lams[fam])
-                                 / jnp.where(valid, k, 1.0), 0.0) * m
-                lams[fam] = lams[fam] + dlam
-                s = dlam / jnp.maximum(d, 1e-6)
-                for ci, nc in enumerate((nx, ny, nz)):
-                    pt = nc * s
-                    accs[ci] = _blend_scatter(accs[ci], wa * pt,
-                                              spec["a"], par)
-                    accs[ci] = _blend_scatter(accs[ci], -wb * pt,
-                                              spec["b"], par)
-            xc = [xci + icd * acc for xci, acc in zip(xc, accs)]
+        dist_h = {}
+        for fam in ("h", "v", "d"):
+            spec = _DIST[fam]
+            m = _fam_mask(spec["mask"], i_idx, j_idx)
+            wa = _blend_w(spec["a"])
+            wb = _blend_w(spec["b"])
+            k = wa + wb + alpha_d[fam]
+            kvalid = jnp.abs(k) > 1e-6
+            inv_k = jnp.where(kvalid,
+                              1.0 / jnp.where(kvalid, k, 1.0), 0.0) * m
+            dist_h[fam] = (wa, wb, inv_k)
+        bend_h = {}
+        for fam in ("bh", "bv", "bd"):
+            spec = _BEND[fam]
+            m = _fam_mask(spec["mask"], i_idx, j_idx)
+            se, so = svec[fam]
+            # scalar when the two parity classes agree, else a blended
+            # plane so + par·(se − so)
+            sv = [soj + par * (sej - soj) if sej != soj else sej
+                  for sej, soj in zip(se, so)]
+            wsv = [_blend_w(blend) * svj
+                   for blend, svj in zip(spec["pts"], sv)]
+            ws2 = (wsv[0] * sv[0] + wsv[1] * sv[1] + wsv[2] * sv[2]
+                   + wsv[3] * sv[3])
+            bend_h[fam] = (m, sv, wsv, ws2)
 
-            # ---- isometric-bending families (XPBD.cpp:153-213, rank-1
-            # factored: t = Σⱼ Sⱼxⱼ, C = −½|t|², ∇ⱼ = −Sⱼt) ----
-            accs = [jnp.zeros((h_win, wp_pad), jnp.float32)
-                    for _j in range(3)]
-            for fam in ("bh", "bv", "bd"):
-                spec = _BEND[fam]
-                m = _fam_mask(spec["mask"], i_idx, j_idx)
-                se, so = svec[fam]
-                # stencils alternate between two congruence classes with
-                # the triangulation parity of the constraint cell
-                sv = [par * sej + (1.0 - par) * soj
-                      for sej, soj in zip(se, so)]
-                # stream over the 4 stencil points: accumulate t and the
-                # w·S² sum without keeping 4×4 gathered planes live
-                t = [jnp.zeros((h_win, wp_pad), jnp.float32)
-                     for _c in range(3)]
-                ws4 = []
-                for j4, blend in enumerate(spec["pts"]):
-                    g4 = _blend_gather(xc + [w], blend, par)
+        # distinct gather offsets per phase, for the per-substep shift
+        # caches (each shifted plane is computed once and reused across
+        # families instead of per blend term)
+        dist_offs = sorted({off for spec in _DIST.values()
+                            for side in ("a", "b")
+                            for _w, off in spec[side] if off != (0, 0)})
+        bend_offs = sorted({off for spec in _BEND.values()
+                            for pt in spec["pts"]
+                            for _w, off in pt if off != (0, 0)})
+
+        def _shifted(planes, offsets):
+            """Shift cache with composed rolls: axis-1 (lane) shifts are
+            computed once per distinct dj, and each (di, dj) offset adds
+            only one axis-0 roll on top of the cached dj plane."""
+            cache = {(0, 0): planes}
+            byj = {0: planes}
+            for off in offsets:
+                dj = off[1]
+                if dj not in byj:
+                    byj[dj] = [_roll(p, -dj, 1) for p in planes]
+            for off in offsets:
+                di, dj = off
+                if di == 0:
+                    cache[off] = byj[dj]
+                else:
+                    cache[off] = [_roll(p, -di, 0) for p in byj[dj]]
+            return cache
+
+        def _blend_c(cache, blend, ci):
+            acc = None
+            for wname, off in blend:
+                term = cache[off][ci]
+                if wname == "p":
+                    term = term * par
+                elif wname == "q":
+                    term = term * qar
+                acc = term if acc is None else acc + term
+            return acc
+
+        # Scatter-back grouped by offset: correction terms from ALL
+        # families of a phase accumulate into per-offset planes first,
+        # then each offset is rolled exactly once (rolls are the
+        # expensive cross-lane/sublane ops on the VPU; the ungrouped
+        # form paid one roll per family term).
+        def _scat(acc_off, blend, ci, base):
+            for wname, off in blend:
+                term = base
+                if wname == "p":
+                    term = term * par
+                elif wname == "q":
+                    term = term * qar
+                cur = acc_off.setdefault(off, [None, None, None])
+                cur[ci] = term if cur[ci] is None else cur[ci] + term
+
+        def _flush(acc_off):
+            """Apply the deferred scatter rolls, composed per axis: the
+            axis-0 roll happens per offset, but offsets sharing dj are
+            summed first so each distinct dj pays one axis-1 roll."""
+            accs = []
+            for ci in range(3):
+                byj = {}
+                for off, planes in acc_off.items():
+                    if planes[ci] is None:
+                        continue
+                    term = planes[ci]
+                    if off[0]:
+                        term = _roll(term, off[0], 0)
+                    dj = off[1]
+                    byj[dj] = term if dj not in byj else byj[dj] + term
+                acc = None
+                for dj, term in byj.items():
+                    if dj:
+                        term = _roll(term, dj, 1)
+                    acc = term if acc is None else acc + term
+                accs.append(acc)
+            return accs
+
+        for _s in range(fused):
+            # -- semi-implicit Euler (gravity only), static particles frozen
+            old = list(xc)
+            vc = [vci + (h_sub * gci) * dyn for vci, gci in zip(vc, (gx, gy, gz))]
+            xc = [xci + h_sub * dyn * vci for xci, vci in zip(xc, vc)]
+
+            lams = {f: jnp.zeros((h_win, wp_pad), jnp.float32)
+                    for f in ("h", "v", "d", "bh", "bv", "bd")}
+
+            for _i in range(max_iterations):
+                # ---- distance families (XPBD.cpp:14-60) ----
+                sh = _shifted(xc, dist_offs)
+                acc_off = {}
+                for fam in ("h", "v", "d"):
+                    spec = _DIST[fam]
+                    wa, wb, inv_k = dist_h[fam]
+                    nx, ny, nz = (
+                        _blend_c(sh, spec["a"], ci)
+                        - _blend_c(sh, spec["b"], ci) for ci in range(3))
+                    d = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+                    c = d - rest[fam]
+                    dlam = jnp.where(d > 1e-6,
+                                     -(c + alpha_d[fam] * lams[fam])
+                                     * inv_k, 0.0)
+                    lams[fam] = lams[fam] + dlam
+                    s = dlam / jnp.maximum(d, 1e-6)
+                    for ci, nc in enumerate((nx, ny, nz)):
+                        pt = nc * s
+                        _scat(acc_off, spec["a"], ci, wa * pt)
+                        _scat(acc_off, spec["b"], ci, -wb * pt)
+                accs = _flush(acc_off)
+                xc = [xci + icd * acc for xci, acc in zip(xc, accs)]
+
+                # ---- isometric-bending families (XPBD.cpp:153-213, rank-1
+                # factored: t = Σⱼ Sⱼxⱼ, C = −½|t|², ∇ⱼ = −Sⱼt) ----
+                sh = _shifted(xc, bend_offs)
+                acc_off = {}
+                for fam in ("bh", "bv", "bd"):
+                    spec = _BEND[fam]
+                    m, sv, wsv, ws2 = bend_h[fam]
+                    t = [None, None, None]
+                    for j4, blend in enumerate(spec["pts"]):
+                        for ci in range(3):
+                            term = sv[j4] * _blend_c(sh, blend, ci)
+                            t[ci] = term if t[ci] is None else t[ci] + term
+                    t2 = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
+                    energy = -0.5 * t2
+                    kk = ws2 * t2 + alpha_b[fam]
+                    valid = jnp.abs(kk) > 1e-9
+                    dlam = jnp.where(valid,
+                                     -(energy + alpha_b[fam] * lams[fam])
+                                     / jnp.where(valid, kk, 1.0), 0.0) * m
+                    lams[fam] = lams[fam] + dlam
                     for ci in range(3):
-                        t[ci] = t[ci] + sv[j4] * g4[ci]
-                    ws4.append(g4[3])
-                t2 = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
-                energy = -0.5 * t2
-                w_s2 = (ws4[0] * sv[0] * sv[0] + ws4[1] * sv[1] * sv[1]
-                        + ws4[2] * sv[2] * sv[2] + ws4[3] * sv[3] * sv[3])
-                kk = w_s2 * t2 + alpha_b[fam]
-                valid = jnp.abs(kk) > 1e-9
-                dlam = jnp.where(valid,
-                                 -(energy + alpha_b[fam] * lams[fam])
-                                 / jnp.where(valid, kk, 1.0), 0.0) * m
-                lams[fam] = lams[fam] + dlam
-                for ci in range(3):
-                    dt_p = dlam * t[ci]
-                    for j4 in range(4):
-                        accs[ci] = _blend_scatter(
-                            accs[ci], -ws4[j4] * sv[j4] * dt_p,
-                            spec["pts"][j4], par)
-            xc = [xci + icb * acc for xci, acc in zip(xc, accs)]
+                        dt_p = dlam * t[ci]
+                        for j4 in range(4):
+                            _scat(acc_off, spec["pts"][j4], ci,
+                                  -wsv[j4] * dt_p)
+                accs = _flush(acc_off)
+                xc = [xci + icb * acc for xci, acc in zip(xc, accs)]
 
-        # -- first-order velocity reconstruction (TimeIntegration.cpp:42-51)
-        vc = [jnp.where(w > 0.0, (xci - oldi) * inv_h, vci)
-              for xci, oldi, vci in zip(xc, old, vc)]
-        if damping:
-            vc = [vci * (1.0 - damping) for vci in vc]
+            # -- first-order velocity reconstruction (TimeIntegration.cpp:42-51)
+            vc = [jnp.where(w > 0.0, (xci - oldi) * inv_h, vci)
+                  for xci, oldi, vci in zip(xc, old, vc)]
+            if damping:
+                vc = [vci * (1.0 - damping) for vci in vc]
 
         for ref, plane in zip((oxx_ref, oxy_ref, oxz_ref,
                                ovx_ref, ovy_ref, ovz_ref), xc + vc):
@@ -486,4 +574,6 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
 
         return chunk
 
-    return _make_chunk(n_steps * substeps)
+    if substeps % fused:
+        raise ValueError("substeps must be divisible by the fused count")
+    return _make_chunk(n_steps * substeps // fused)

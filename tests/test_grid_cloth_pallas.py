@@ -75,3 +75,31 @@ def test_pallas_batched_matches_single():
     np.testing.assert_allclose(xs[0], x1, atol=1e-6)
     np.testing.assert_allclose(xs[1], x1, atol=1e-6)
     assert np.abs(xs[2] - x1).max() > 1e-5   # perturbed rollout diverged
+
+
+def test_pallas_fused_substeps_matches_unfused():
+    """fuse_substeps=True (whole step per kernel pass, halo 3·S·iters)
+    must produce the same trajectory as the per-substep kernel."""
+    from positionbaseddynamics_tpu.solver.grid_cloth_pallas import (
+        make_pallas_cloth_step)
+
+    state, cset = _build(24)
+    cfg = StepConfig(dt=0.005, substeps=5, max_iterations=1)
+    gc = cset.grid_cloths[0]
+    kw = dict(dt=cfg.dt, substeps=cfg.substeps,
+              max_iterations=cfg.max_iterations)
+    step_u = make_pallas_cloth_step(
+        gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend, **kw)
+    step_f = make_pallas_cloth_step(
+        gc, state.particles.inv_mass, gc.inv_cnt_dist, gc.inv_cnt_bend,
+        fuse_substeps=True, **kw)
+
+    xu, vu = state.particles.x, state.particles.v
+    xf, vf = state.particles.x, state.particles.v
+    for _ in range(10):
+        xu, vu = step_u(xu, vu)
+        xf, vf = step_f(xf, vf)
+    xu, xf = np.asarray(xu), np.asarray(xf)
+    assert np.isfinite(xf).all()
+    np.testing.assert_allclose(xf, xu, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vu), atol=2e-4)
