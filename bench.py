@@ -199,6 +199,53 @@ def bench_bar(args):
     assert cset.grid_tets, "structured tet path not engaged"
     cfg = StepConfig()
 
+    if args.pallas is not False:
+        # fused Pallas tet kernel (solver/grid_tet_pallas.py);
+        # --no-pallas forces the XLA grid path
+        from positionbaseddynamics_tpu.solver.grid_tet_pallas import (
+            make_pallas_tet_step)
+
+        gt = cset.grid_tets[0]
+        pstep = make_pallas_tet_step(
+            gt, state.particles.inv_mass, dt=cfg.dt,
+            substeps=cfg.substeps, max_iterations=cfg.max_iterations,
+            n_steps=args.steps_per_call)
+        x, v = state.particles.x, state.particles.v
+        if args.check:
+            import sys
+            fin, _ = jax.jit(lambda s: rollout(s, cset, cfg, 10))(state)
+            ps = make_pallas_tet_step(
+                gt, state.particles.inv_mass, dt=cfg.dt,
+                substeps=cfg.substeps,
+                max_iterations=cfg.max_iterations, n_steps=10)
+            xc, _vc = ps(x, v)
+            dev = float(_np.abs(_np.asarray(xc)
+                                - _np.asarray(fin.particles.x)).max())
+            ok = dev < 1e-5
+            print(json.dumps({"metric": "pallas_tet_vs_jnp_10step_dev",
+                              "value": dev, "unit": "max |dx|",
+                              "backend": jax.default_backend(),
+                              "ok": ok}))
+            return 0 if ok else sys.exit(1)
+        xv = jax.block_until_ready(pstep(x, v))
+        if not _np.isfinite(_np.asarray(xv[0])).all():
+            raise FloatingPointError("pallas tet probe non-finite")
+        t0 = time.perf_counter()
+        for _ in range(args.calls):
+            xv = pstep(*xv)
+        jax.block_until_ready(xv)
+        dt = time.perf_counter() - t0
+        steps = args.calls * args.steps_per_call
+        steps_per_s = steps / dt
+        print(json.dumps({
+            "metric": f"xpbd_fem_bar_{w * h * d // 1000}k_steps_per_s",
+            "value": round(steps_per_s, 2),
+            "unit": "steps/s",
+            "vs_baseline": round(steps_per_s / 60.0, 3),
+            "path": "pallas_tet",
+        }))
+        return
+
     chunk = jax.jit(
         lambda s: rollout(s, cset, cfg, args.steps_per_call)[0])
     state = jax.block_until_ready(chunk(state))     # compile + probe
