@@ -190,3 +190,40 @@ def test_branched_tree_model_routes_to_tree_solver(tmp_path):
     # static root held; both branch tips fell
     np.testing.assert_allclose(x[0], [0.0, 0.0, 0.0], atol=1e-6)
     assert (x[2:, 1] < -1.0 + -1e-4).all()
+
+
+def test_car_scene_loads_and_runs():
+    """CarScene (the only shipped scene with motor joints under load):
+    11 rigid bodies, 4 TargetVelocityMotorHingeJoints (wheels), 4
+    DamperJoints (suspension), 1 TargetAngleMotorHingeJoint (steering).
+    The car must settle on its wheels (chassis stays above the ground
+    plane) and the driven wheels must actually spin."""
+    s = load_scene(f"{SCENES}/CarScene.json", cache_dir=CACHE,
+                   max_sdf_resolution=14)
+    r0 = np.asarray(s.state.rigid.x)
+    st = _run(s, 60)
+    x = np.asarray(st.rigid.x)
+    om = np.asarray(st.rigid.omega)
+    assert np.isfinite(x).all() and np.isfinite(om).all()
+    # nothing fell through the world (all bodies within a sane band)
+    assert x[:, 1].min() > r0[:, 1].min() - 2.0
+    # the motor-driven wheels rotate (hinge motors exercise
+    # solve_TargetVelocityMotorHingeJoint under gravity load)
+    assert np.abs(om).max() > 0.5
+
+
+def test_cloth_collision_scene_drapes():
+    """ClothCollisionScene: one cloth over 4 rigid bodies (the only
+    shipped scene with cloth-vs-multiple-SDF contact). The cloth must
+    fall, collide, and come to rest ON the bodies — not pass through."""
+    s = load_scene(f"{SCENES}/ClothCollisionScene.json", cache_dir=CACHE,
+                   max_sdf_resolution=14)
+    p0 = np.asarray(s.state.particles.x)
+    st = _run(s, 80)
+    x = np.asarray(st.particles.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].mean() < p0[:, 1].mean() - 0.01   # it fell
+    # resting height: above the top of the (static floor) bodies' span
+    floor_top = np.asarray(s.state.rigid.x)[:, 1].min()
+    assert x[:, 1].min() > floor_top - 3.0
+    assert np.abs(x[:, 1].min() - x[:, 1].max()) > 1e-3  # draped, not rigid
