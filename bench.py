@@ -177,6 +177,45 @@ def bench_scene(args):
     }))
 
 
+def bench_fluid(args):
+    """PBF breaking dam (FluidDemo class, TimeStepFluidModel.cpp:21-68):
+    ~100k fluid particles in a boundary box, 5 density iterations,
+    CFL-adaptive dt. Metric: solver steps/s."""
+    import jax
+    import numpy as _np
+    from positionbaseddynamics_tpu.fluids.model import (
+        FluidScene, FluidState, block_positions, box_boundary,
+        make_fluid_step_fn)
+
+    radius = 0.025
+    diam = 2 * radius
+    nx, ny, nz = args.fluid_dims
+    fluid = block_positions((diam, diam, diam), (nx, ny, nz), diam)
+    lo = (0.0, 0.0, 0.0)
+    hi = ((nx + 2) * diam * 4.0, (ny + 2) * diam * 2.0, (nz + 2) * diam)
+    bnd = box_boundary(lo, hi, diam)
+    scene = FluidScene.create(len(fluid), bnd, particle_radius=radius)
+    state = FluidState.create(fluid)
+    fn = make_fluid_step_fn(scene)
+    state = jax.block_until_ready(fn(state))        # compile + probe
+    if not _np.isfinite(_np.asarray(state.x)).all():
+        raise FloatingPointError("fluid probe produced non-finite x")
+    steps = args.calls * args.steps_per_call
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = fn(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    steps_per_s = steps / dt
+    print(json.dumps({
+        "metric": f"pbf_dam_{len(fluid) // 1000}k_steps_per_s",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / 60.0, 3),
+        "n_fluid": len(fluid), "n_boundary": len(bnd),
+    }))
+
+
 def bench_bar(args):
     """BarDemo-class metric (BASELINE config 2, ``Demos/BarDemo/main.cpp``):
     a regular XPBD FEM tet bar cantilever at ~100k particles via the
@@ -296,6 +335,11 @@ def main():
                          "(the default when the scene supports it)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="force the jnp structured-grid path")
+    ap.add_argument("--fluid", action="store_true",
+                    help="PBF breaking-dam metric (~100k particles)")
+    ap.add_argument("--fluid-dims", type=int, nargs=3,
+                    default=(80, 50, 25),
+                    help="fluid block particle counts (x y z)")
     ap.add_argument("--bar", action="store_true",
                     help="benchmark the BarDemo workload instead: regular "
                          "XPBD FEM tet bar via the structured tet-grid "
@@ -330,6 +374,8 @@ def main():
         return bench_mpc(args)
     if args.mpc_big:
         return bench_mpc_big(args)
+    if args.fluid:
+        return bench_fluid(args)
     if args.bar:
         return bench_bar(args)
     if args.pile:

@@ -691,6 +691,76 @@ static int run_clothcontact(FILE* f, FILE* out) {
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// PBF fluid kernel oracle: density / lambda / density-constraint
+// correction from the compiled reference (PositionBasedFluids.cpp:8-141,
+// SPHKernels.cpp CubicKernel) over DUMPED neighborhoods — kernel-level
+// parity for fluids/model.py (neighbor sets supplied by the dump so the
+// spatial-hash implementations need not agree on candidate order).
+//
+// Input: "fluid", then: n_fluid n_boundary support_radius density0
+//   n_fluid lines:    x y z mass
+//   n_boundary lines: x y z psi
+//   per fluid particle: numNeighbors then indices (>= n_fluid =
+//   boundary particle index - n_fluid)
+// Output per particle: density lambda corr_x corr_y corr_z
+// ---------------------------------------------------------------------------
+#include "PositionBasedDynamics/PositionBasedFluids.h"
+#include "PositionBasedDynamics/SPHKernels.h"
+
+static int run_fluid(FILE* f, FILE* out) {
+    int nf, nb; double support_d, rho0_d;
+    std::fscanf(f, "%d %d %lf %lf", &nf, &nb, &support_d, &rho0_d);
+    CubicKernel::setRadius((Real)support_d);
+    const Real rho0 = (Real)rho0_d;
+    std::vector<Vector3r> x(nf), bx(nb);
+    std::vector<Real> mass(nf), psi(nb);
+    for (int i = 0; i < nf; i++) {
+        double a, b, c, m;
+        std::fscanf(f, "%lf %lf %lf %lf", &a, &b, &c, &m);
+        x[i] = Vector3r((Real)a, (Real)b, (Real)c);
+        mass[i] = (Real)m;
+    }
+    for (int i = 0; i < nb; i++) {
+        double a, b, c, p;
+        std::fscanf(f, "%lf %lf %lf %lf", &a, &b, &c, &p);
+        bx[i] = Vector3r((Real)a, (Real)b, (Real)c);
+        psi[i] = (Real)p;
+    }
+    std::vector<std::vector<unsigned int>> nbrs(nf);
+    for (int i = 0; i < nf; i++) {
+        int k; std::fscanf(f, "%d", &k);
+        nbrs[i].resize(k);
+        for (int j = 0; j < k; j++) {
+            int v; std::fscanf(f, "%d", &v);
+            nbrs[i][j] = (unsigned int)v;
+        }
+    }
+    std::vector<Real> density(nf), lambda(nf);
+    for (int i = 0; i < nf; i++) {
+        Real err;
+        PositionBasedFluids::computePBFDensity(
+            i, nf, x.data(), mass.data(), bx.data(), psi.data(),
+            (unsigned int)nbrs[i].size(), nbrs[i].data(), rho0, true,
+            err, density[i]);
+        PositionBasedFluids::computePBFLagrangeMultiplier(
+            i, nf, x.data(), mass.data(), bx.data(), psi.data(),
+            density[i], (unsigned int)nbrs[i].size(), nbrs[i].data(),
+            rho0, true, lambda[i]);
+    }
+    for (int i = 0; i < nf; i++) {
+        Vector3r corr;
+        PositionBasedFluids::solveDensityConstraint(
+            i, nf, x.data(), mass.data(), bx.data(), psi.data(),
+            (unsigned int)nbrs[i].size(), nbrs[i].data(), rho0, true,
+            lambda.data(), corr);
+        std::fprintf(out, "%.9g %.9g %.9g %.9g %.9g\n",
+                     (double)density[i], (double)lambda[i],
+                     (double)corr[0], (double)corr[1], (double)corr[2]);
+    }
+    return 0;
+}
+
 int main(int argc, char** argv) {
     if (argc < 3) { std::fprintf(stderr, "usage: %s in out\n", argv[0]); return 1; }
     FILE* f = std::fopen(argv[1], "r");
@@ -704,6 +774,7 @@ int main(int argc, char** argv) {
     else if (!std::strcmp(mode, "balljoint")) rc = run_balljoint(f, out);
     else if (!std::strcmp(mode, "rbcontact")) rc = run_rbcontact(f, out);
     else if (!std::strcmp(mode, "clothcontact")) rc = run_clothcontact(f, out);
+    else if (!std::strcmp(mode, "fluid")) rc = run_fluid(f, out);
     else std::fprintf(stderr, "unknown mode %s\n", mode);
     std::fclose(f);
     std::fclose(out);

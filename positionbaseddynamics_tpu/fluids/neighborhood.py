@@ -71,8 +71,9 @@ def neighbor_candidates(x: Array, radius, cap_per_cell: int = 12):
     idx = order[pos_c].reshape(n, -1)            # (N, 27*cap)
     valid = (same_cell & in_range).reshape(n, -1)
 
-    d = x[idx] - x[:, None, :]
-    dist2 = jnp.sum(d * d, -1)
+    # per-component gathers: a (N, K, 3) vector gather flattens to a
+    # 128-lane-padded (N·K, 3) layout in XLA (42× memory at 100k scale)
+    dist2 = sum((x[:, c][idx] - x[:, c][:, None]) ** 2 for c in range(3))
     valid = valid & (dist2 < radius * radius)
     valid = valid & (idx != jnp.arange(n, dtype=idx.dtype)[:, None])
     return idx, valid

@@ -41,3 +41,26 @@ def grad_w(rvec: Array, h) -> Array:
     far = (l * (-factor * factor))[..., None] * gradq
     g = jnp.where((q <= 0.5)[..., None], near, far)
     return jnp.where((rl > 1.0e-6)[..., None], g, 0.0)
+
+
+def w_r(rl: Array, h) -> Array:
+    """Kernel value from distances ``rl`` — per-component-gather form
+    (gathering ``(..., 3)`` displacement vectors makes XLA flatten to a
+    ``(N·K, 3)`` layout padded to 128 lanes, a 42× memory blowup at
+    100k-particle scale)."""
+    k = 8.0 / (_PI * h**3)
+    q = jnp.minimum(rl / h, 1.0)
+    near = k * (6.0 * q**3 - 6.0 * q**2 + 1.0)
+    far = k * 2.0 * (1.0 - q) ** 3
+    return jnp.where(q <= 0.5, near, far)
+
+
+def grad_w_coef(rl: Array, h) -> Array:
+    """Scalar ``s(r)`` with ``∇W(rvec) = s(‖rvec‖)·rvec`` (see
+    :func:`grad_w`); zero at the origin."""
+    l = 48.0 / (_PI * h**3)
+    q = jnp.minimum(rl / h, 1.0)
+    coefq = jnp.where(q <= 0.5, l * q * (3.0 * q - 2.0),
+                      -l * (1.0 - q) ** 2)
+    s = coefq / jnp.maximum(rl * h, 1e-30)
+    return jnp.where(rl > 1.0e-6, s, 0.0)

@@ -100,6 +100,8 @@ def _build_oracle2():
         f"{REF}/PositionBasedDynamics/PositionBasedDynamics.cpp",
         f"{REF}/PositionBasedDynamics/PositionBasedElasticRods.cpp",
         f"{REF}/PositionBasedDynamics/PositionBasedRigidBodyDynamics.cpp",
+        f"{REF}/PositionBasedDynamics/PositionBasedFluids.cpp",
+        f"{REF}/PositionBasedDynamics/SPHKernels.cpp",
     ]
     newest = max(os.path.getmtime(s) for s in srcs)
     if os.path.exists(BIN2) and os.path.getmtime(BIN2) > newest:
@@ -296,3 +298,69 @@ def test_cloth_on_sphere_contact_matches_reference(oracle2, tmp_path):
     assert (center > 0.3).all(), "cloth fell through the sphere"
     dev = np.abs(x_us - x_ref).max()
     assert dev <= 1e-4, f"max position deviation {dev:.2e} > 1e-4"
+
+
+# ---------------------------------------------------------------------------
+# Oracle #4: PBF fluid kernels (density / lambda / density-constraint
+# correction) from the compiled reference (PositionBasedFluids.cpp:8-141)
+# over shared dumped neighborhoods.
+# ---------------------------------------------------------------------------
+
+
+def test_pbf_kernels_match_reference(oracle2, tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax.numpy as jnp
+
+    from positionbaseddynamics_tpu.fluids import model as fm
+    from positionbaseddynamics_tpu.fluids.model import (
+        FluidScene, block_positions, box_boundary)
+
+    radius = 0.025
+    diam = 2 * radius
+    fluid = block_positions((0.0, diam, 0.0), (6, 6, 6), diam)
+    bnd = box_boundary((-2 * diam, -diam, -2 * diam),
+                       (8 * diam, 10 * diam, 8 * diam), diam)
+    scene = FluidScene.create(len(fluid), bnd, particle_radius=radius)
+    n = scene.n_fluid
+    # perturb so sums are not symmetric
+    rng = np.random.default_rng(7)
+    fluid = fluid + rng.normal(scale=0.2 * radius, size=fluid.shape)
+    x_all = jnp.concatenate(
+        [jnp.asarray(fluid, jnp.float32), scene.boundary_x], 0)
+
+    idx, valid, is_fluid_j, w_j = fm._sph_sums(x_all, scene)
+    density = fm.compute_density(x_all, idx, valid, w_j, scene)
+    lam = fm.compute_lambda(x_all, idx, valid, w_j, density, scene)
+    corr = fm.solve_density_constraint(
+        x_all, idx, valid, is_fluid_j, w_j, lam, scene)
+
+    # dump the same neighborhoods for the oracle
+    xf = np.asarray(x_all[:n], np.float64)
+    mass = np.asarray(scene.mass, np.float64)
+    bx = np.asarray(scene.boundary_x, np.float64)
+    psi = np.asarray(scene.boundary_psi, np.float64)
+    idx_np = np.asarray(idx)
+    val_np = np.asarray(valid)
+    lines = ["fluid", f"{n} {len(bx)} {scene.support_radius:.9g} "
+             f"{scene.density0:.9g}"]
+    for i in range(n):
+        lines.append(f"{xf[i,0]:.9g} {xf[i,1]:.9g} {xf[i,2]:.9g} "
+                     f"{mass[i]:.9g}")
+    for i in range(len(bx)):
+        lines.append(f"{bx[i,0]:.9g} {bx[i,1]:.9g} {bx[i,2]:.9g} "
+                     f"{psi[i]:.9g}")
+    for i in range(n):
+        nb = idx_np[i][val_np[i]]
+        lines.append(f"{len(nb)} " + " ".join(str(int(v)) for v in nb))
+    scene_file = tmp_path / "fluid.txt"
+    out_file = tmp_path / "out.txt"
+    scene_file.write_text("\n".join(lines) + "\n")
+    subprocess.run([oracle2, str(scene_file), str(out_file)], check=True)
+    ref = np.loadtxt(out_file)
+
+    np.testing.assert_allclose(np.asarray(density), ref[:, 0], rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(lam), ref[:, 1],
+                               rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(corr), ref[:, 2:5],
+                               rtol=2e-4, atol=1e-7)
