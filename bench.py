@@ -194,7 +194,8 @@ def bench_fluid(args):
     lo = (0.0, 0.0, 0.0)
     hi = ((nx + 2) * diam * 4.0, (ny + 2) * diam * 2.0, (nz + 2) * diam)
     bnd = box_boundary(lo, hi, diam)
-    scene = FluidScene.create(len(fluid), bnd, particle_radius=radius)
+    scene = FluidScene.create(len(fluid), bnd, particle_radius=radius,
+                              domain=(lo, hi))
     state = FluidState.create(fluid)
     fn = make_fluid_step_fn(scene)
     state = jax.block_until_ready(fn(state))        # compile + probe
@@ -213,6 +214,7 @@ def bench_fluid(args):
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / 60.0, 3),
         "n_fluid": len(fluid), "n_boundary": len(bnd),
+        "path": "cell_dense",
     }))
 
 

@@ -80,10 +80,16 @@ class FluidScene:
     def n_fluid(self) -> int:
         return self.mass.shape[0]
 
+    # optional cell-dense pipeline (fluids/cellgrid.py) — set when the
+    # scene has static domain bounds; the hash-candidate path remains
+    # for unbounded/small scenes and oracle-parity tests
+    cellgrid: object = None
+
     @staticmethod
     def create(n_fluid, boundary_x, density0=1000.0, particle_radius=0.025,
                viscosity=0.02, iterations=5, cap_per_cell=12,
-               min_dt=1e-4, max_dt=5e-3, gravity=(0.0, -9.81, 0.0)):
+               min_dt=1e-4, max_dt=5e-3, gravity=(0.0, -9.81, 0.0),
+               domain=None):
         """Masses per ``FluidModel::initMasses`` (0.8·diam³·ρ₀); boundary
         psi per ``FluidModel::initBoundaryPsi`` — ψᵢ = ρ₀·Vᵢ with
         Vᵢ = 1/ΣⱼW(xᵢ−xⱼ) over boundary neighbors (Akinci 2012)."""
@@ -95,7 +101,11 @@ class FluidScene:
         # boundary psi via one host-side neighbor pass (build time only)
         bx = jnp.asarray(boundary_x)
         if boundary_x.shape[0]:
-            idx, valid = neighbor_candidates(bx, support, cap_per_cell)
+            # the psi pass needs a deep per-cell cap: box wall/corner
+            # cells hold up to ~(h/diam)³ boundary particles, far above
+            # the fluid rest occupancy (reference maxParticlesPerCell=50)
+            idx, valid = neighbor_candidates(bx, support,
+                                             max(cap_per_cell, 48))
             r2 = sum((bx[:, c][idx] - bx[:, c][:, None]) ** 2
                      for c in range(3))
             wsum = jnp.sum(
@@ -105,6 +115,15 @@ class FluidScene:
         else:
             psi = jnp.zeros((0,), jnp.float32)
 
+        grid = None
+        if domain is not None:
+            from .cellgrid import CellGridSpec
+            lo, hi = domain
+            grid = CellGridSpec.create(
+                lo, hi, support, cap=cap_per_cell,
+                boundary_x=boundary_x, boundary_psi=np.asarray(psi),
+                n_fluid_hint=n_fluid)
+
         return FluidScene(
             mass=jnp.asarray(mass), boundary_x=bx,
             boundary_psi=jnp.asarray(psi, jnp.float32),
@@ -112,7 +131,7 @@ class FluidScene:
             viscosity=float(viscosity), iterations=int(iterations),
             cap_per_cell=int(cap_per_cell), min_dt=float(min_dt),
             max_dt=float(max_dt), particle_radius=float(particle_radius),
-            gravity=tuple(gravity),
+            gravity=tuple(gravity), cellgrid=grid,
         )
 
 
@@ -229,9 +248,52 @@ def _pbf_iteration(x_all, idx, valid, is_fluid_j, w_j, scene: FluidScene):
     return corr, density
 
 
+def _fluid_step_cells(state: FluidState, scene: FluidScene) -> FluidState:
+    """Cell-dense PBF step (``fluids/cellgrid.py``): sort into per-cell
+    tables once, run the density iterations and XSPH entirely in dense
+    cell layout. Same per-step semantics as :func:`fluid_step`."""
+    from .cellgrid import (build_fluid_tables, pbf_iterations, xsph_cell)
+
+    spec = scene.cellgrid
+    g = jnp.asarray(scene.gravity, jnp.float32)
+    a = jnp.broadcast_to(g, state.x.shape)
+    h = cfl_dt(state.v, a, state.dt, scene)
+
+    last_x, old_x = state.old_x, state.x
+    v = state.v + h * a
+    x = state.x + h * v
+
+    (slot, kept, xt, mt, active, nbr, nbr_ok,
+     _overflow) = build_fluid_tables(spec, x, scene.mass)
+    xt, density, pair_ok = pbf_iterations(
+        spec, xt, mt, active, nbr, nbr_ok, scene.iterations,
+        scene.density0, scene.support_radius)
+    x_new = jnp.where(
+        kept[:, None],
+        jnp.stack([p.reshape(-1)[slot] for p in xt], -1), x)
+    v = (x_new - old_x) / h
+
+    nslots = spec.n_cells * spec.cap
+    vslot = jnp.where(kept, slot, nslots)
+    vt = tuple(
+        jnp.zeros((nslots,), jnp.float32).at[vslot].set(
+            v[:, c], mode="drop").reshape(spec.n_cells, spec.cap)
+        for c in range(3))
+    vt = xsph_cell(spec, xt, vt, mt, active, nbr, nbr_ok, density,
+                   scene.viscosity, scene.support_radius, pair_ok)
+    v = jnp.where(
+        kept[:, None],
+        jnp.stack([p.reshape(-1)[slot] for p in vt], -1), v)
+
+    return FluidState(x=x_new, v=v, old_x=old_x, last_x=last_x,
+                      time=state.time + h, dt=h)
+
+
 def fluid_step(state: FluidState, scene: FluidScene) -> FluidState:
     """One PBF step (``TimeStepFluidModel::step``,
     ``TimeStepFluidModel.cpp:21-68``). Pure function; jit/scan it."""
+    if scene.cellgrid is not None:
+        return _fluid_step_cells(state, scene)
     g = jnp.asarray(scene.gravity, jnp.float32)
     a = jnp.broadcast_to(g, state.x.shape)
     h = cfl_dt(state.v, a, state.dt, scene)
@@ -262,10 +324,11 @@ def fluid_step(state: FluidState, scene: FluidScene) -> FluidState:
 
 
 def make_fluid_step_fn(scene: FluidScene):
-    @jax.jit
-    def fn(state: FluidState) -> FluidState:
-        return fluid_step(state, scene)
-    return fn
+    # scene passes as a pytree ARGUMENT (not a closure): closed-over
+    # arrays embed as program constants, and a large scene's boundary
+    # tables blow the remote-compile request past its size limit
+    fn = jax.jit(fluid_step)
+    return lambda state: fn(state, scene)
 
 
 # ---------------------------------------------------------------------------

@@ -11,11 +11,15 @@ static shapes, no dynamic allocation. Candidates are returned as a
 fixed ``(N, 27·cap)`` index array + validity mask; downstream SPH sums
 reduce over that axis directly (no compaction pass needed on TPU).
 
-Hash collisions between distinct cells are possible (as in the
-reference's hash map); they only ever *add* candidates, which the
-radius mask then rejects — with the caveat that a pathological
-collision could crowd out true candidates within the per-cell cap, the
-same failure mode as the reference's ``maxParticlesPerCell``.
+Hash collisions between distinct cells are resolved EXACTLY: candidates
+are re-checked against their actual integer cell coordinates (the
+reference's ``Hashmap`` does the same through key equality). This
+matters — the XOR-of-primes hash collides *systematically* for
+mirror-image offsets near the origin (``(-1,y,-1)`` vs ``(1,y,1)``),
+which double-counted whole neighbor runs in every SPH sum before the
+check was added. A colliding run can still crowd out true candidates
+within the per-cell cap (the reference's ``maxParticlesPerCell``
+failure mode); ``cell_overflow`` is the loud counter for that.
 """
 from __future__ import annotations
 
@@ -66,9 +70,17 @@ def neighbor_candidates(x: Array, radius, cap_per_cell: int = 12):
     take = jnp.arange(cap_per_cell, dtype=jnp.int32)
     pos = start[..., None] + take                # (N, 27, cap)
     pos_c = jnp.minimum(pos, n - 1)
-    same_cell = h_sorted[pos_c] == nh[..., None]
+    same_hash = h_sorted[pos_c] == nh[..., None]
     in_range = pos < n
-    idx = order[pos_c].reshape(n, -1)            # (N, 27*cap)
+    idx_3d = order[pos_c]                        # (N, 27, cap)
+    # exact cell check (hash equality is NOT enough: mirror-image
+    # offsets collide systematically near the origin and would
+    # double-count their runs)
+    same_cell = same_hash
+    for c in range(3):
+        same_cell = same_cell & (cell[:, c][idx_3d]
+                                 == ncell[..., c][..., None])
+    idx = idx_3d.reshape(n, -1)                  # (N, 27*cap)
     valid = (same_cell & in_range).reshape(n, -1)
 
     # per-component gathers: a (N, K, 3) vector gather flattens to a

@@ -79,8 +79,11 @@ def test_breaking_dam_smoke():
     lo = (-diam, 0.0, -diam)
     hi = (0.5, 0.6, 0.5)
     boundary = box_boundary(lo, hi, diam)
+    # wall/corner cells hold up to ~27 boundary particles; a shallow
+    # cap silently drops boundary neighbors and leaks fluid (the exact
+    # hash-collision fix removed duplicates that had masked this)
     scene = FluidScene.create(len(fluid), boundary, particle_radius=r,
-                              viscosity=0.02, cap_per_cell=16)
+                              viscosity=0.02, cap_per_cell=32)
     state = FluidState.create(fluid)
     fn = make_fluid_step_fn(scene)
     for _ in range(60):
@@ -96,3 +99,47 @@ def test_breaking_dam_smoke():
     assert x[:, 1].mean() < com0 + 1e-3
     # velocities bounded (no explosion)
     assert np.abs(np.asarray(state.v)).max() < 10.0
+
+
+def test_cellgrid_path_matches_hash_path():
+    """The cell-dense pipeline (fluids/cellgrid.py) must reproduce the
+    hash-candidate path's trajectory on a small dam where neither
+    capacity binds."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from positionbaseddynamics_tpu.fluids.model import (
+        FluidScene, FluidState, block_positions, box_boundary,
+        make_fluid_step_fn)
+
+    radius = 0.025
+    diam = 2 * radius
+    fluid = block_positions((diam, diam, diam), (6, 8, 6), diam)
+    lo = (0.0, 0.0, 0.0)
+    hi = (8 * diam * 3, 10 * diam, 8 * diam)
+    bnd = box_boundary(lo, hi, diam)
+    # the hash path needs a deep per-cell cap at box walls/corners
+    # (up to ~27 boundary particles share a cell); the cell path's
+    # static boundary tables size themselves exactly
+    scene_h = FluidScene.create(len(fluid), bnd, particle_radius=radius,
+                                cap_per_cell=32)
+    scene_c = FluidScene.create(len(fluid), bnd, particle_radius=radius,
+                                domain=(lo, hi))
+    assert scene_c.cellgrid is not None
+
+    sh = FluidState.create(fluid)
+    sc = FluidState.create(fluid)
+    fh = make_fluid_step_fn(scene_h)
+    fc = make_fluid_step_fn(scene_c)
+    for _ in range(10):
+        sh = fh(sh)
+        sc = fc(sc)
+    xh = np.asarray(sh.x)
+    xc = np.asarray(sc.x)
+    assert np.isfinite(xc).all()
+    dev = np.abs(xh - xc).max()
+    assert dev < 5e-4, f"cell-dense vs hash path deviation {dev:.2e}"
+    # the dam actually collapsed (fluid spread sideways)
+    assert xc[:, 0].max() > np.asarray(fluid)[:, 0].max() + diam
