@@ -40,6 +40,9 @@
 #endif
 #include "Common/Common.h"
 #include "PositionBasedDynamics/XPBD.h"
+#include "PositionBasedDynamics/PositionBasedFluids.h"
+#include "PositionBasedDynamics/SPHKernels.h"
+#include "Simulation/NeighborhoodSearchSpatialHashing.h"
 #include "PositionBasedDynamics/PositionBasedDynamics.h"
 #include "PositionBasedDynamics/PositionBasedElasticRods.h"
 #include "PositionBasedDynamics/TimeIntegration.h"
@@ -480,6 +483,119 @@ static int run_rod(int N, int steps) {
 
 #include <functional>
 
+// --------------------------------------------------------------------------
+// fluid NX NY NZ steps: PBF breaking dam with the reference's own
+// kernels AND its own spatial-hash neighborhood search
+// (NeighborhoodSearchSpatialHashing.cpp:89-160), stepped with the
+// TimeStepFluidModel loop (Demos/FluidDemo/TimeStepFluidModel.cpp:21-68):
+// CFL dt -> semiImplicitEuler -> neighborhoodSearch -> 5x {density,
+// lambda, solve} -> velocityUpdate (XSPH omitted: it only adds cost on
+// our side too and the metric is the density solve).
+// --------------------------------------------------------------------------
+static int run_fluid_dam(int NX, int NY, int NZ, int steps) {
+    const Real radius = (Real)0.025;
+    const Real diam = 2 * radius;
+    const Real support = 4 * radius;
+    const Real rho0 = (Real)1000.0;
+    CubicKernel::setRadius(support);
+
+    std::vector<Vector3r> x, bx;
+    for (int i = 0; i < NX; i++)
+        for (int j = 0; j < NY; j++)
+            for (int k = 0; k < NZ; k++)
+                x.push_back(Vector3r(diam + i * diam, diam + j * diam,
+                                     diam + k * diam));
+    // boundary shell of the container box
+    const Real hx = (NX + 2) * diam * 4, hy = (NY + 2) * diam * 2,
+               hz = (NZ + 2) * diam;
+    auto shell = [&](Real a, Real b, Real c) {
+        bx.push_back(Vector3r(a, b, c));
+    };
+    for (Real a = 0; a <= hx; a += diam)
+        for (Real b = 0; b <= hy; b += diam)
+            for (Real c = 0; c <= hz; c += diam) {
+                const bool on = a < diam || a > hx - diam || b < diam
+                    || b > hy - diam || c < diam || c > hz - diam;
+                if (on) shell(a, b, c);
+            }
+    const unsigned int nf = (unsigned int)x.size();
+    const unsigned int nb = (unsigned int)bx.size();
+    std::vector<Real> mass(nf, (Real)(0.8 * diam * diam * diam * rho0));
+    // boundary psi via a brute neighbor pass over boundary cells (build
+    // time only; coarse-grid buckets to keep it tractable)
+    std::vector<Real> psi(nb);
+    {
+        PBD::NeighborhoodSearchSpatialHashing ns(nb, support);
+        std::vector<Vector3r*> dummy;
+        ns.neighborhoodSearch(bx.data());
+        unsigned int** nbrs = ns.getNeighbors();
+        unsigned int* cnt = ns.getNumNeighbors();
+        #pragma omp parallel for schedule(static)
+        for (int i = 0; i < (int)nb; i++) {
+            Real sum = CubicKernel::W_zero();
+            for (unsigned int j = 0; j < cnt[i]; j++)
+                sum += CubicKernel::W(bx[i] - bx[nbrs[i][j]]);
+            psi[i] = rho0 / sum;
+        }
+    }
+    std::vector<Vector3r> v(nf, Vector3r::Zero()), old(nf);
+    std::vector<Real> density(nf), lambda(nf);
+    PBD::NeighborhoodSearchSpatialHashing ns(nf, support);
+    ns.setRadius(support);
+
+    Real dt = (Real)0.005;
+    auto step = [&]() {
+        // CFL
+        Real maxV2 = (Real)0.1;
+        for (unsigned int i = 0; i < nf; i++) {
+            const Vector3r a = Vector3r(0, (Real)-9.81, 0);
+            maxV2 = std::max(maxV2, (Real)(v[i] + a * dt).squaredNorm());
+        }
+        dt = std::min(std::max((Real)(0.4 * diam / sqrt(maxV2)),
+                               (Real)1e-4), (Real)5e-3);
+        #pragma omp parallel for schedule(static)
+        for (int i = 0; i < (int)nf; i++) {
+            old[i] = x[i];
+            Vector3r acc(0, (Real)-9.81, 0);
+            TimeIntegration::semiImplicitEuler(dt, mass[i], x[i], v[i],
+                                               acc);
+        }
+        ns.neighborhoodSearch(x.data(), nb, bx.data());
+        unsigned int** nbrs = ns.getNeighbors();
+        unsigned int* cnt = ns.getNumNeighbors();
+        for (int it = 0; it < 5; it++) {
+            #pragma omp parallel for schedule(static)
+            for (int i = 0; i < (int)nf; i++) {
+                Real err;
+                PositionBasedFluids::computePBFDensity(
+                    i, nf, x.data(), mass.data(), bx.data(), psi.data(),
+                    cnt[i], nbrs[i], rho0, true, err, density[i]);
+                PositionBasedFluids::computePBFLagrangeMultiplier(
+                    i, nf, x.data(), mass.data(), bx.data(), psi.data(),
+                    density[i], cnt[i], nbrs[i], rho0, true, lambda[i]);
+            }
+            #pragma omp parallel for schedule(static)
+            for (int i = 0; i < (int)nf; i++) {
+                Vector3r corr;
+                PositionBasedFluids::solveDensityConstraint(
+                    i, nf, x.data(), mass.data(), bx.data(), psi.data(),
+                    cnt[i], nbrs[i], rho0, true, lambda.data(), corr);
+                x[i] += corr;
+            }
+        }
+        #pragma omp parallel for schedule(static)
+        for (int i = 0; i < (int)nf; i++)
+            TimeIntegration::velocityUpdateFirstOrder(dt, mass[i], x[i],
+                                                      old[i], v[i]);
+    };
+    const double sec = time_steps(step, 2, steps);
+    std::printf("{\"workload\": \"fluid_dam_%u\", \"n_particles\": %u, "
+                "\"n_boundary\": %u, \"threads\": %d, "
+                "\"steps_per_s\": %.4g}\n",
+                nf, nf, nb, num_threads(), 1.0 / sec);
+    return 0;
+}
+
 int main(int argc, char** argv) {
     if (argc < 2) { std::fprintf(stderr, "usage: see header\n"); return 1; }
     if (!std::strcmp(argv[1], "cloth") && argc >= 5)
@@ -489,6 +605,9 @@ int main(int argc, char** argv) {
                        atoi(argv[5]));
     if (!std::strcmp(argv[1], "rod") && argc >= 4)
         return run_rod(atoi(argv[2]), atoi(argv[3]));
+    if (!std::strcmp(argv[1], "fluid") && argc >= 6)
+        return run_fluid_dam(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                             atoi(argv[5]));
     if (!std::strcmp(argv[1], "femtet") && argc >= 6)
         return run_tetfile(argv[2], argv[3], atoi(argv[4]), atoi(argv[5]));
     std::fprintf(stderr, "bad args\n");
