@@ -105,18 +105,25 @@ def _col_mask(spec_j, gj, w_grid):
 
 
 def make_grid_intra_step_fn(batch: GridClothBatch, inv_mass, cfg: StepConfig,
-                            mesh: Mesh, axis: str = SHARD_AXIS):
+                            mesh: Mesh, axis: str = SHARD_AXIS,
+                            dp_axis: str = None):
     """Build a jitted ``(x (N, 3), v (N, 3)) -> (x, v)`` sim step with the
     grid's row axis sharded over ``mesh``'s ``axis``. Requires a
     uniform-parameter grid batch covering particles ``[0, H*W)`` with
-    ``H`` divisible by the device count."""
+    ``H`` divisible by the device count.
+
+    With ``dp_axis`` the mesh is 2-D (rollout batch × grid rows): the
+    step takes/returns ``(B, N, 3)`` with B sharded over ``dp_axis`` and
+    the grid rows over ``axis`` — the composed DP×intra parallelism of
+    SURVEY §2.6 (halo ``ppermute``s ride the ``axis`` submesh; the DP
+    dimension needs no collectives at all)."""
     h_grid, w_grid = batch.height, batch.width
     if batch.offset != 0:
         raise NotImplementedError("grid intra-sharding expects offset 0")
     if not (batch.has_distance and batch.has_bending
             and batch.xpbd_distance and batch.xpbd_bending):
         raise NotImplementedError("XPBD distance+bending grids only")
-    n_dev = mesh.devices.size
+    n_dev = int(np.prod([mesh.shape[axis]]))
     if h_grid % n_dev:
         raise NotImplementedError(
             f"grid rows ({h_grid}) must divide by device count ({n_dev})")
@@ -161,16 +168,36 @@ def make_grid_intra_step_fn(batch: GridClothBatch, inv_mass, cfg: StepConfig,
         return acc.at[:1].add(from_prev)
 
     def fn(x, v):
-        shard = NamedSharding(mesh, P(axis))
-        xg = jax.lax.with_sharding_constraint(
-            x.reshape(h_grid, w_grid, 3), shard)
-        vg = jax.lax.with_sharding_constraint(
-            v.reshape(h_grid, w_grid, 3), shard)
+        if dp_axis is None:
+            shard = NamedSharding(mesh, P(axis))
+            state_spec = P(axis)
+            xg = jax.lax.with_sharding_constraint(
+                x.reshape(h_grid, w_grid, 3), shard)
+            vg = jax.lax.with_sharding_constraint(
+                v.reshape(h_grid, w_grid, 3), shard)
+        else:
+            b = x.shape[0]
+            shard = NamedSharding(mesh, P(dp_axis, axis))
+            state_spec = P(dp_axis, axis)
+            xg = jax.lax.with_sharding_constraint(
+                x.reshape(b, h_grid, w_grid, 3), shard)
+            vg = jax.lax.with_sharding_constraint(
+                v.reshape(b, h_grid, w_grid, 3), shard)
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-                 out_specs=(P(axis), P(axis)))
+                 in_specs=(state_spec, state_spec, P(axis), P(axis),
+                           P(axis)),
+                 out_specs=(state_spec, state_spec))
         def sharded(xl, vl, wl, icdl, icbl):
+            if dp_axis is not None:
+                # DP dimension: map the single-rollout body over the
+                # local batch (collectives inside commute with vmap)
+                return jax.vmap(
+                    lambda xs, vs: _rollout_body(xs, vs, wl, icdl, icbl)
+                )(xl, vl)
+            return _rollout_body(xl, vl, wl, icdl, icbl)
+
+        def _rollout_body(xl, vl, wl, icdl, icbl):
             di = jax.lax.axis_index(axis)
             row0 = di * br                      # global row of local row 0
             # extended-block global indices: ext row l ↔ global row
@@ -268,6 +295,9 @@ def make_grid_intra_step_fn(batch: GridClothBatch, inv_mass, cfg: StepConfig,
             return xl, vl
 
         xg, vg = sharded(xg, vg, w_g, icd_g, icb_g)
+        if dp_axis is not None:
+            return (xg.reshape(xg.shape[0], -1, 3),
+                    vg.reshape(vg.shape[0], -1, 3))
         return xg.reshape(-1, 3), vg.reshape(-1, 3)
 
     return jax.jit(fn)

@@ -141,7 +141,10 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
                            block_rows: int = None,
                            n_batch: int = 1,
                            n_steps: int = 1,
-                           fuse_substeps: bool = False):
+                           fuse_substeps: bool = False,
+                           height_override: int = None,
+                           global_height: int = None,
+                           external_params: bool = False):
     """Build ``step(x (N, 3), v (N, 3)) -> (x, v)``: one flat scan of
     ``n_steps·substeps`` fused Pallas substep kernels. Requires a
     uniform-parameter grid batch covering particles ``[0, H*W)`` (the
@@ -155,6 +158,11 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
     *4096 parallel rollouts* workload maps onto a chip: all rollouts
     share the masks/parameters; only state is batched."""
     h_grid, w_grid = batch.height, batch.width
+    if height_override is not None:
+        # sharded mode (parallel/intra_pallas.py): the kernel runs on a
+        # device-local row window; stencil parameters still come from
+        # the GLOBAL batch (uniform / parity-class scalars)
+        h_grid = int(height_override)
     if batch.offset != 0:
         raise NotImplementedError("pallas cloth kernel expects offset 0")
     if not (batch.has_distance and batch.has_bending):
@@ -210,14 +218,17 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
             p = _roll(p, -dj, 1)
         return p
 
+    gh = global_height if global_height is not None else None
+
     def _fam_mask(spec, i_idx, j_idx):
+        mh = gh if gh is not None else h_grid
         mi, mj = spec
         if mi == "i<=H-1":
-            m = (i_idx >= 0) & (i_idx <= h_grid - 1)
+            m = (i_idx >= 0) & (i_idx <= mh - 1)
         elif mi == "i<=H-2":
-            m = (i_idx >= 0) & (i_idx <= h_grid - 2)
+            m = (i_idx >= 0) & (i_idx <= mh - 2)
         else:  # "1<=i<=H-2"
-            m = (i_idx >= 1) & (i_idx <= h_grid - 2)
+            m = (i_idx >= 1) & (i_idx <= mh - 2)
         if mj == "j<=W-1":
             m &= j_idx <= w_grid - 1
         elif mj == "j<=W-2":
@@ -227,7 +238,7 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         return m.astype(jnp.float32)
 
     def kernel(xx_hbm, xy_hbm, xz_hbm, vx_hbm, vy_hbm, vz_hbm,
-               w_hbm, icd_hbm, icb_hbm,
+               w_hbm, icd_hbm, icb_hbm, off_ref,
                oxx_ref, oxy_ref, oxz_ref, ovx_ref, ovy_ref, ovz_ref,
                *scratch):
         bufs2 = scratch[:_N_IN]             # two-slot input windows
@@ -289,9 +300,10 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
 
         bufs = [bufs2[s].at[slot] for s in range(_N_IN)]
 
-        # absolute CONTENT row of local row l: r0 + l - halo
+        # absolute GLOBAL row of local row l: r0 + l - halo (+ shard
+        # offset in the sharded mode — zero otherwise)
         i_idx = (jax.lax.broadcasted_iota(jnp.int32, (h_win, wp_pad), 0)
-                 + (r0 - halo))
+                 + (r0 - halo) + off_ref[0, 0])
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (h_win, wp_pad), 1)
         # helper(i,j) = (i%2 == j%2), SimulationModel.cpp:831-903 parity
         par = ((i_idx & 1) == (j_idx & 1)).astype(jnp.float32)
@@ -516,7 +528,8 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         kernel,
         grid=grid,
         out_shape=(out_plane,) * 6,
-        in_specs=[any_spec] * _N_IN,
+        in_specs=[any_spec] * _N_IN
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(out_spec,) * 6,
         scratch_shapes=[pltpu.VMEM((2, h_win, wp_pad), jnp.float32)]
         * _N_IN
@@ -535,12 +548,17 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         out[:h_grid, :w_grid] = a
         return jnp.asarray(out)
 
-    w_plane = _pad_margins(_pad_plane(inv_mass))
-    icd_plane = _pad_margins(_pad_plane(inv_cnt_dist))
-    icb_plane = _pad_margins(_pad_plane(inv_cnt_bend))
-
     pad_h = hp_pad - h_grid
     pad_w = wp_pad - w_grid
+
+    if not external_params:
+        w_plane = _pad_margins(_pad_plane(inv_mass))
+        icd_plane = _pad_margins(_pad_plane(inv_cnt_dist))
+        icb_plane = _pad_margins(_pad_plane(inv_cnt_bend))
+
+    def _pad_plane_traced(a):
+        a = a.reshape(h_grid, w_grid)
+        return _pad_margins(jnp.pad(a, [(0, pad_h), (0, pad_w)]))
 
     def _make_chunk(n_sub_calls):
         """x, v -> planes -> one flat scan of ``n_sub_calls`` substep
@@ -549,7 +567,14 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
         sends XLA layout assignment into a tailspin — 400s+ compiles)."""
 
         @jax.jit
-        def chunk(x, v):
+        def chunk(x, v, *params):
+            if external_params:
+                wp, icdp, icbp = (_pad_plane_traced(a)
+                                  for a in params[:3])
+                off_arr = params[3].reshape(1, 1).astype(jnp.int32)
+            else:
+                wp, icdp, icbp = w_plane, icd_plane, icb_plane
+                off_arr = jnp.zeros((1, 1), jnp.int32)
             lead = (n_batch,) if n_batch > 1 else ()
             xp = x.reshape(lead + (h_grid, w_grid, 3))
             vp = v.reshape(lead + (h_grid, w_grid, 3))
@@ -559,7 +584,7 @@ def make_pallas_cloth_step(batch: GridClothBatch, inv_mass, inv_cnt_dist,
 
             def body(carry, _):
                 outs = substep_call(*[_pad_margins(p) for p in carry],
-                                    w_plane, icd_plane, icb_plane)
+                                    wp, icdp, icbp, off_arr)
                 return tuple(outs), None
 
             outs, _ = jax.lax.scan(body, tuple(planes), None,
