@@ -67,6 +67,11 @@ class RigidCollider:
                                 metadata=dict(static=True))
     shape_radius: float = field(default=float("inf"),
                                 metadata=dict(static=True))
+    # fixed-depth bounding-sphere hierarchy over ``verts`` (collision/
+    # bvh.py — the reference's PointCloudBSH pruning, vectorized):
+    # body-frame block sphere centers (B, 3) and radii (B,)
+    block_centers: Array = None
+    block_radii: Array = None
 
 
 @_register
@@ -81,6 +86,11 @@ class ParticleGroupCollider:
     count: int = field(metadata=dict(static=True))
     restitution: Array = None
     friction: Array = None
+    # build-time Morton permutation of the group's rest positions; per
+    # step the sorted positions reshape into spatially compact blocks
+    # whose bounding spheres drive the block-level SDF predicate
+    morton_perm: Array = None
+    block_size: int = field(default=32, metadata=dict(static=True))
 
 
 @_register
@@ -246,8 +256,8 @@ class CollisionPipeline:
 
             reach = ca.verts_radius + cb.shape_radius + self.tolerance
             if np.isfinite(reach):
-                # broad phase: bounding-sphere reject as real control
-                # flow (the reference's AABB/BVH pruning analogue,
+                # broad phase level 0: bounding-sphere reject as real
+                # control flow (the reference's AABB pruning analogue,
                 # CollisionDetection.h:32-44) — the narrow phase of a
                 # separated pair never executes
                 def empty(ca=ca, cb=cb, k=k):
@@ -260,8 +270,23 @@ class CollisionPipeline:
                         nkn_inv=z, p_max=z, goal_u_n=z,
                         restitution=z, friction=z, mask=z)
 
+                gate = narrow
+                if (ca.block_centers is not None
+                        and cb.shape is not None):
+                    # broad phase level 1: the reference's kd-sphere
+                    # predicate "SDF(center) < radius" (DistanceField
+                    # CollisionDetection.cpp:226-247) over the vertex
+                    # BLOCK spheres (collision/bvh.py), all at once
+                    def gate(ca=ca, cb=cb, narrow=narrow, empty=empty):
+                        ra = quat.to_matrix(rq[ca.body])
+                        cw = ca.block_centers @ ra.T + rx[ca.body]
+                        cl = self._world_to_local(cb, rx, rq, cw)
+                        dist = cb.shape.distance(cl) - self.tolerance
+                        hit = jnp.any(dist < ca.block_radii)
+                        return jax.lax.cond(hit, narrow, empty)
+
                 d = jnp.linalg.norm(rx[ca.body] - rx[cb.body])
-                rows.append(jax.lax.cond(d < reach, narrow, empty))
+                rows.append(jax.lax.cond(d < reach, gate, empty))
             else:
                 rows.append(narrow())
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *rows)
@@ -370,9 +395,9 @@ class CollisionPipeline:
 
                 reach = cb.shape_radius + self.tolerance
                 if np.isfinite(reach):
-                    # broad phase: group-sphere vs collider-sphere reject
-                    # as real control flow — a separated pair's SDF
-                    # narrow phase never executes
+                    # broad phase level 0: group-sphere vs
+                    # collider-sphere reject as real control flow — a
+                    # separated pair's SDF narrow phase never executes
                     def empty(idx=idx, k=k, b1=b1):
                         z3 = jnp.zeros((k, 3), jnp.float32)
                         z = jnp.zeros((k,), jnp.float32)
@@ -383,9 +408,39 @@ class CollisionPipeline:
                             nkn_inv=z, p_max=z, goal_u_n=z,
                             friction=z, mask=z)
 
+                    gate = narrow
+                    if pg.morton_perm is not None and cb.shape is not None:
+                        # broad phase level 1: per-step block spheres
+                        # over the Morton-sorted (deforming) group vs
+                        # the reference's kd-sphere SDF predicate
+                        # (collision/bvh.py)
+                        def gate(x=x, cb=cb, pg=pg, narrow=narrow,
+                                 empty=empty):
+                            bs = pg.block_size
+                            xs = x[pg.morton_perm]
+                            nb = xs.shape[0] // bs
+                            blocks = xs[:nb * bs].reshape(nb, bs, 3)
+                            bc = jnp.mean(blocks, axis=1)
+                            br_ = jnp.sqrt(jnp.max(jnp.sum(
+                                (blocks - bc[:, None, :]) ** 2, -1), -1))
+                            cl = self._world_to_local(cb, rx, rq, bc)
+                            dist = (cb.shape.distance(cl)
+                                    - self.tolerance)
+                            # tail vertices not covered by full blocks
+                            # fall back to the group sphere test
+                            hit = jnp.any(dist < br_)
+                            if xs.shape[0] % bs:
+                                tail = xs[nb * bs:]
+                                tl = self._world_to_local(cb, rx, rq,
+                                                          tail)
+                                hit = hit | jnp.any(
+                                    cb.shape.distance(tl)
+                                    - self.tolerance < 0.0)
+                            return jax.lax.cond(hit, narrow, empty)
+
                     d = jnp.linalg.norm(center - rx[b1])
                     rows.append(jax.lax.cond(
-                        d < group_r + reach, narrow, empty))
+                        d < group_r + reach, gate, empty))
                 else:
                     rows.append(narrow())
         if not rows:

@@ -652,13 +652,26 @@ class SceneBuilder:
                 sr += float(np.linalg.norm(c["frame_t"]))
             return vr, sr
 
+        from ..collision.bvh import build_block_spheres
+
         rcs = []
         for c in self._rb_colliders:
             vr, sr = _radii(c)
+            verts_np = (None if c["verts"] is None else _sub(c["verts"]))
+            bc = br_ = None
+            if verts_np is not None and len(verts_np) >= 16:
+                # fixed-depth bounding-sphere hierarchy (collision/
+                # bvh.py): Morton-sorted verts + per-block spheres for
+                # the reference's kd-sphere SDF predicate
+                verts_np, centers, radii = build_block_spheres(
+                    verts_np, block_size=16)
+                bc = jnp.asarray(centers)
+                br_ = jnp.asarray(radii)
             rcs.append(RigidCollider(
                 body=c["body"], shape=c["shape"],
-                verts=(None if c["verts"] is None
-                       else jnp.asarray(_sub(c["verts"]))),
+                verts=(None if verts_np is None
+                       else jnp.asarray(verts_np)),
+                block_centers=bc, block_radii=br_,
                 frame_rot=(None if c.get("frame_rot") is None
                            else jnp.asarray(c["frame_rot"])),
                 frame_t=(None if c.get("frame_t") is None
@@ -674,11 +687,18 @@ class SceneBuilder:
             (i, j)
             for i in range(len(rcs)) for j in range(len(rcs))
             if i != j and rcs[i].verts is not None and (dyn[i] or dyn[j]))
+        from ..collision.bvh import morton_order
+
+        x_all = (np.concatenate(self._x, axis=0)
+                 if self._x else np.zeros((0, 3), np.float32))
         pgs = tuple(
             ParticleGroupCollider(
                 offset=c["offset"], count=c["count"],
                 restitution=jnp.float32(c["restitution"]),
-                friction=jnp.float32(c["friction"]))
+                friction=jnp.float32(c["friction"]),
+                morton_perm=(jnp.asarray(morton_order(
+                    x_all[c["offset"]:c["offset"] + c["count"]]
+                ).astype(np.int32)) if c["count"] >= 64 else None))
             for c in self._pg_colliders)
 
         # solid-solid: every particle group (tri/tet model) collides with
