@@ -267,6 +267,69 @@ class GridTetBatch:
                  for j in range(4)]
         return corrs, lam + dlam
 
+    def project_gs(self, x: Array, inv_mass: Array, lams, dt
+                   ) -> Tuple[Array, Array]:
+        """Color-sequential Gauss-Seidel on the tet grid: per family,
+        per (i%2, j%2, k%2) lattice color — tets of one family in
+        non-adjacent cells share no vertices, so each of the 8 colors
+        applies its corrections immediately and conflict-free (the
+        structured form of ``initConstraintGroups``,
+        ``SimulationModel.cpp:1033-1094``). 8 redundant family computes
+        per pass; a fidelity mode, not the production path."""
+        w, h, d = self.width, self.height, self.depth
+        wc, hc, dc = w - 1, h - 1, d - 1
+        o = self.offset
+        n_blk = w * h * d
+        ii, jj, kk = np.meshgrid(np.arange(wc), np.arange(hc),
+                                 np.arange(dc), indexing="ij")
+        odd = jnp.asarray(((ii + jj + kk) % 2 == 1).reshape(-1))
+        oddf = odd.astype(jnp.float32)
+        evenf = 1.0 - oddf
+        colors = [jnp.asarray(((ii % 2 == a) & (jj % 2 == b)
+                               & (kk % 2 == c)).reshape(-1)
+                              .astype(np.float32))
+                  for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+
+        g = x[o:o + n_blk].reshape(w, h, d, 3)
+        wg_full = inv_mass[o:o + n_blk].reshape(w, h, d)
+        corners_w = [wg_full[a:a + wc, b:b + hc, c:c + dc].reshape(-1)
+                     for a, b, c in _CORNERS]
+        new_lams = list(lams)
+        for t in range(5):
+            co = _TETS_ODD[t]
+            ce = _TETS_EVEN[t]
+            ws = [oddf * corners_w[co[k]] + evenf * corners_w[ce[k]]
+                  for k in range(4)]
+            irm9 = [[jnp.where(odd, self.inv_rest_odd[t, a, b],
+                               self.inv_rest_even[t, a, b])
+                     for b in range(3)] for a in range(3)]
+            vol = jnp.where(odd, self.rest_vol_odd[t],
+                            self.rest_vol_even[t])
+            for cm in colors:
+                corners_x = [
+                    [g[a:a + wc, b:b + hc, c:c + dc, comp].reshape(-1)
+                     for comp in range(3)] for a, b, c in _CORNERS]
+                pts = [[oddf * corners_x[co[k]][a]
+                        + evenf * corners_x[ce[k]][a]
+                        for a in range(3)] for k in range(4)]
+                corrs, nl = self._solve_family(pts, ws, irm9, vol, dt,
+                                               new_lams[t])
+                new_lams[t] = new_lams[t] \
+                    + (nl - new_lams[t]) * cm
+                dx = jnp.zeros((w, h, d, 3), jnp.float32)
+                for k in range(4):
+                    for parf, corner in ((oddf, co[k]), (evenf, ce[k])):
+                        a, b, c = _CORNERS[corner]
+                        plane = jnp.stack(
+                            [corrs[k][comp] * parf * cm
+                             for comp in range(3)],
+                            axis=-1).reshape(wc, hc, dc, 3)
+                        dx = dx.at[a:a + wc, b:b + hc,
+                                   c:c + dc].add(plane)
+                g = g + dx            # disjoint within a color
+        x = jax.lax.dynamic_update_slice(x, g.reshape(-1, 3), (o, 0))
+        return x, jnp.stack(new_lams)
+
     def project(self, x: Array, inv_mass: Array, lams, dt,
                 omega: float = 1.0) -> Tuple[Array, Array]:
         """One Jacobi pass of all 5 tet families on the grid block of

@@ -277,16 +277,13 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
         lams[f"joint{k}"] = jb.init_lambda()
     for k, db in enumerate(cset.direct_rods):
         lams[f"direct_rod{k}"] = db.init_lambda()
-    if cset.grid_tets and cfg.solver_mode == "gauss_seidel":
-        raise ValueError(
-            "structured grid TET batches support the jacobi solver mode "
-            "only; build with SceneBuilder(use_structured_grid=False) "
-            "for gauss_seidel parity runs (grid cloth supports both)")
     for _ in range(cfg.max_iterations):
+        # lattice-colored color-sequential sweeps (project_gs) give GS
+        # fidelity at structured-grid speed; jacobi is the production
+        # mode
+        gs = cfg.solver_mode == "gauss_seidel"
         for gi, gc in enumerate(cset.grid_cloths):
-            if cfg.solver_mode == "gauss_seidel":
-                # lattice-colored color-sequential sweep (grid_cloth.py
-                # project_gs) — GS fidelity at structured-grid speed
+            if gs:
                 x, lams[f"grid_cloth{gi}"] = gc.project_gs(
                     x, inv_mass, lams[f"grid_cloth{gi}"], dt)
             else:
@@ -294,8 +291,13 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
                     x, inv_mass, lams[f"grid_cloth{gi}"], dt,
                     cfg.jacobi_omega)
         for gi, gt in enumerate(cset.grid_tets):
-            x, lams[f"grid_tet{gi}"] = gt.project(
-                x, inv_mass, lams[f"grid_tet{gi}"], dt, cfg.jacobi_omega)
+            if gs:
+                x, lams[f"grid_tet{gi}"] = gt.project_gs(
+                    x, inv_mass, lams[f"grid_tet{gi}"], dt)
+            else:
+                x, lams[f"grid_tet{gi}"] = gt.project(
+                    x, inv_mass, lams[f"grid_tet{gi}"], dt,
+                    cfg.jacobi_omega)
         for name, batch in cset.particle_batches():
             x, lams[name] = _project_particle_batch(
                 x, inv_mass, batch, lams[name], dt, cfg, cset, name

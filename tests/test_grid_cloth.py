@@ -55,18 +55,31 @@ def test_grid_constraint_counts():
     assert n_bend == u_cset.isometric_bending.idx.shape[0]
 
 
-def test_grid_rejects_gauss_seidel():
-    """Grid TETS still lack a GS mode (grid cloth gained one in r4)."""
+def test_grid_tet_gauss_seidel_mode():
+    """Lattice-colored GS on the structured TET grid: pinned face held,
+    finite, bar sags (VERDICT r3 item 7 — both grid paths support GS)."""
+    import jax
+
     from positionbaseddynamics_tpu.models import SceneBuilder
+    from positionbaseddynamics_tpu.solver import rollout
 
     b = SceneBuilder()
-    tm = b.add_regular_tet_model(4, 3, 3)
-    b.add_solid_constraints(tm, method=3, stiffness=1e5, poisson_ratio=0.3)
+    tm = b.add_regular_tet_model(8, 3, 3, scale=(2.0, 0.5, 0.5))
+    for j in range(3):
+        for k in range(3):
+            b.set_mass(tm.offset + j * 3 + k, 0.0)
+    b.add_solid_constraints(tm, method=3, stiffness=1e5,
+                            poisson_ratio=0.3)
     state, cset = b.build()
     assert cset.grid_tets
-    cfg = StepConfig(solver_mode="gauss_seidel")
-    with pytest.raises(ValueError, match="jacobi"):
-        rollout(state, cset, cfg, 1)
+    cfg = StepConfig(dt=0.005, substeps=3, max_iterations=1,
+                     solver_mode="gauss_seidel")
+    fin, _ = jax.jit(lambda s: rollout(s, cset, cfg, 15))(state)
+    x = np.asarray(fin.particles.x)
+    assert np.isfinite(x).all()
+    np.testing.assert_allclose(
+        x[:9], np.asarray(state.particles.x)[:9], atol=1e-6)
+    assert (x[-9:, 1] < np.asarray(state.particles.x)[-9:, 1] - 1e-3).all()
 
 
 def test_grid_vmap_batch():
