@@ -177,6 +177,77 @@ def bench_scene(args):
     }))
 
 
+def bench_mpc_contact(args):
+    """BASELINE config-5-class MPC (VERDICT r3 weak #7): an MPPI planner
+    whose rollouts are the FULL coupled-contact ArmadilloCollisionScene
+    (3 deformable FEM armadillos + SDF floor + solid-solid contacts),
+    vmapped over the sample batch. Control = an external velocity drag
+    on the top armadillo's particles between sim steps; cost = distance
+    of its centroid to a lateral target + control effort."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    from positionbaseddynamics_tpu.scene import load_scene
+    from positionbaseddynamics_tpu.solver.step import step as step_fn
+
+    s = load_scene(
+        "/root/reference/data/scenes/ArmadilloCollisionScene.json",
+        cache_dir="/tmp/pbd_bench_sdf_cache", max_sdf_resolution=14)
+    state0, cset, cfg, pipe = s.state, s.cset, s.config, s.pipeline
+    n_model = 1180                      # particles per armadillo
+    k_samples = max(args.mpc_samples // 32, 4)
+    horizon = max(args.mpc_horizon // 2, 5)
+    target = (jnp.mean(state0.particles.x[:n_model], 0)
+              + jnp.array([1.5, -0.5, 0.0]))
+    sigma, lam, max_speed = 0.5, 0.1, 2.0
+
+    def rollout_cost(u_seq, st):
+        def body(carry, u):
+            st, cost = carry
+            p = st.particles
+            v = p.v.at[:n_model].add(
+                jnp.clip(u, -max_speed, max_speed) - p.v[:n_model])
+            import dataclasses
+            st = dataclasses.replace(
+                st, particles=dataclasses.replace(p, v=v))
+            st = step_fn(st, cset, cfg, pipe)
+            cost = cost + 1e-3 * jnp.sum(u ** 2)
+            return (st, cost), None
+        (st, cost), _ = jax.lax.scan(body, (st, 0.0), u_seq)
+        com = jnp.mean(st.particles.x[:n_model], 0)
+        return cost + jnp.sum((com - target) ** 2)
+
+    @jax.jit
+    def planner_update(key, st, nominal):
+        eps = sigma * jax.random.normal(key, (k_samples, horizon, 3))
+        u = nominal[None] + eps
+        costs = jax.vmap(lambda uu: rollout_cost(uu, st))(u)
+        w = jax.nn.softmax(-costs / lam)
+        return nominal + jnp.einsum("k,khd->hd", w, eps), costs.min()
+
+    key = jax.random.PRNGKey(0)
+    nominal = jnp.zeros((horizon, 3), jnp.float32)
+    nominal, best = jax.block_until_ready(
+        planner_update(key, state0, nominal))
+    t0 = time.perf_counter()
+    for i in range(args.calls):
+        nominal, best = planner_update(jax.random.PRNGKey(i), state0,
+                                       nominal)
+    jax.block_until_ready(nominal)
+    dt = time.perf_counter() - t0
+    upd = args.calls / dt
+    assert _np.isfinite(float(best))
+    print(json.dumps({
+        "metric": f"mppi_contact_scene_updates_per_s_k{k_samples}"
+                  f"_h{horizon}",
+        "value": round(upd, 3),
+        "aggregate_steps_per_s": round(upd * k_samples * horizon, 1),
+        "unit": "planner updates/s",
+        "vs_baseline": round(upd * k_samples * horizon / 60.0, 3),
+        "scene": "ArmadilloCollisionScene (full contact pipeline)",
+    }))
+
+
 def bench_fluid(args):
     """PBF breaking dam (FluidDemo class, TimeStepFluidModel.cpp:21-68):
     ~100k fluid particles in a boundary box, 5 density iterations,
@@ -337,6 +408,9 @@ def main():
                          "(the default when the scene supports it)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="force the jnp structured-grid path")
+    ap.add_argument("--mpc-contact", action="store_true",
+                    help="MPPI over full coupled-contact scene rollouts "
+                         "(BASELINE config-5 class)")
     ap.add_argument("--fluid", action="store_true",
                     help="PBF breaking-dam metric (~100k particles)")
     ap.add_argument("--fluid-dims", type=int, nargs=3,
@@ -376,6 +450,8 @@ def main():
         return bench_mpc(args)
     if args.mpc_big:
         return bench_mpc_big(args)
+    if args.mpc_contact:
+        return bench_mpc_contact(args)
     if args.fluid:
         return bench_fluid(args)
     if args.bar:
