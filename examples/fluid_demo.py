@@ -27,8 +27,11 @@ def main():
     p("fluid particles", len(fluid))
     p("boundary particles", len(boundary))
 
+    # bounded domain engages the cell-dense engine (fluids/cellgrid.py)
     scene = FluidScene.create(len(fluid), boundary, particle_radius=r,
-                              viscosity=0.02, cap_per_cell=16)
+                              viscosity=0.02, cap_per_cell=16,
+                              domain=((-diam, 0.0, -diam),
+                                      (0.6, 0.7, 0.6)))
     state = FluidState.create(fluid)
     fn = make_fluid_step_fn(scene)
     state = jax.block_until_ready(fn(state))      # compile
