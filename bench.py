@@ -248,6 +248,47 @@ def bench_mpc_contact(args):
     }))
 
 
+def bench_rods(args):
+    """Cosserat-rod family at the production shape: B independent
+    50-segment stretch-shear + bend-twist rods stepped as ONE batched
+    scene (rods are rows of the same constraint batches — no vmap
+    needed; the reference solves one rod at a time)."""
+    import jax
+    import numpy as _np
+    from positionbaseddynamics_tpu.models import SceneBuilder
+    from positionbaseddynamics_tpu.solver import StepConfig, make_step_fn
+    import numpy as np
+
+    n_rods, n_seg = args.rod_batch, 51
+    b = SceneBuilder(use_structured_grid=False)
+    for rr in range(n_rods):
+        pts = np.stack([np.linspace(0.0, 1.0, n_seg),
+                        np.full(n_seg, 0.02 * rr), np.zeros(n_seg)], 1)
+        lm = b.add_line_model(pts)
+        b.set_mass(lm.offset, 0.0)
+        b.set_quaternion_mass(lm.offset_q, 0.0)
+        b.add_rod_constraints(lm, stretch_stiffness=(1.0, 1.0, 1.0),
+                              bend_twist_stiffness=(0.5, 0.5, 0.5))
+    state, cset = b.build()
+    fn = make_step_fn(cset, StepConfig())
+    st = jax.block_until_ready(fn(state))
+    assert _np.isfinite(_np.asarray(st.particles.x)).all()
+    steps = args.calls * args.steps_per_call
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        st = fn(st)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+    sps = steps / dt
+    print(json.dumps({
+        "metric": f"cosserat_rods_x{n_rods}_steps_per_s",
+        "value": round(sps, 2),
+        "unit": "steps/s",
+        "aggregate_rod_steps_per_s": round(sps * n_rods, 1),
+        "vs_baseline": round(sps / 60.0, 3),
+    }))
+
+
 def bench_fluid(args):
     """PBF breaking dam (FluidDemo class, TimeStepFluidModel.cpp:21-68):
     ~100k fluid particles in a boundary box, 5 density iterations,
@@ -411,6 +452,9 @@ def main():
     ap.add_argument("--mpc-contact", action="store_true",
                     help="MPPI over full coupled-contact scene rollouts "
                          "(BASELINE config-5 class)")
+    ap.add_argument("--rods", action="store_true",
+                    help="batched Cosserat rod scene metric")
+    ap.add_argument("--rod-batch", type=int, default=1024)
     ap.add_argument("--fluid", action="store_true",
                     help="PBF breaking-dam metric (~100k particles)")
     ap.add_argument("--fluid-dims", type=int, nargs=3,
@@ -452,6 +496,8 @@ def main():
         return bench_mpc_big(args)
     if args.mpc_contact:
         return bench_mpc_contact(args)
+    if args.rods:
+        return bench_rods(args)
     if args.fluid:
         return bench_fluid(args)
     if args.bar:

@@ -120,28 +120,34 @@ def _color_subsets(batch):
 _PLANNED_SCATTER_MIN_ROWS = 8192
 
 
-def _batch_scatter(n, batch, corr):
-    """Scatter a particle batch's corrections — via the build-time
-    sorted-prefix plan (``make_scatter_plan``) for large batches, where
-    XLA's native scatter-add costs ~15-20 ns/row, else ``.at[].add``.
-    The plan is cached on the batch object (cset is closure-static)."""
+def _planned_scatter(n, idx, corr, owner, slot):
+    """Scatter corrections via the build-time sorted-prefix plan
+    (``make_scatter_plan``) for large index sets, where XLA's native
+    scatter-add costs ~15-20 ns/row, else ``.at[].add``. Plans cache on
+    ``owner`` (a cset batch — closure-static under jit) keyed by
+    ``slot``."""
     from .constraints import make_scatter_plan, scatter_add_planned
 
-    idx = batch.idx
     if idx.size < _PLANNED_SCATTER_MIN_ROWS:
         return scatter_add(n, idx, corr)
-    cached = getattr(batch, "_scatter_plan_cache", None)
-    if cached is not None and cached[0] == n:
-        plan = cached[1]
-    else:
+    cache = getattr(owner, "_scatter_plan_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(owner, "_scatter_plan_cache", cache)
+    plan = cache.get(slot)
+    if plan is None or plan[0] != n:
         import numpy as np
         try:
             idx_np = np.asarray(idx)
         except Exception:          # tracer (cset passed as jit argument)
             return scatter_add(n, idx, corr)
-        plan = make_scatter_plan(n, idx_np)
-        object.__setattr__(batch, "_scatter_plan_cache", (n, plan))
-    return scatter_add_planned(plan, corr)
+        plan = (n, make_scatter_plan(n, idx_np))
+        cache[slot] = plan
+    return scatter_add_planned(plan[1], corr)
+
+
+def _batch_scatter(n, batch, corr):
+    return _planned_scatter(n, batch.idx, corr, batch, "idx")
 
 
 def _project_particle_batch(x, inv_mass, batch, lam, dt, cfg, cset, name):
@@ -189,8 +195,9 @@ def _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg):
             corr_p, corr_q = ss.solve(x, inv_mass, q, inv_mass_q)
             cp = cfg.jacobi_omega * _inv_counts(cset, "stretch_shear", n, ss.idx_p)
             cq = cfg.jacobi_omega * _inv_counts(cset, "stretch_shear_q", m, ss.idx_q)
-            x = x + cp * scatter_add(n, ss.idx_p, corr_p)
-            q = quat.normalize(q + cq * scatter_add(m, ss.idx_q[:, None], corr_q))
+            x = x + cp * _planned_scatter(n, ss.idx_p, corr_p, ss, "p")
+            q = quat.normalize(q + cq * _planned_scatter(
+                m, ss.idx_q[:, None], corr_q, ss, "q"))
     bt = cset.bend_twist
     if bt is not None:
         if cfg.solver_mode == "gauss_seidel":
@@ -202,7 +209,8 @@ def _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg):
         else:
             corr_q = bt.solve(q, inv_mass_q)
             cq = cfg.jacobi_omega * _inv_counts(cset, "bend_twist_q", m, bt.idx_q)
-            q = quat.normalize(q + cq * scatter_add(m, bt.idx_q, corr_q))
+            q = quat.normalize(q + cq * _planned_scatter(
+                m, bt.idx_q, corr_q, bt, "q"))
     return x, q
 
 
