@@ -320,8 +320,10 @@ def bench_fluid(args):
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
     steps_per_s = steps / dt
+    overflow = float(state.overflow)
     print(json.dumps({
         "metric": f"pbf_dam_{len(fluid) // 1000}k_steps_per_s",
+        "capacity_overflow": overflow,
         "value": round(steps_per_s, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / 60.0, 3),

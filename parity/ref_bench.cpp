@@ -28,6 +28,7 @@
 // Prints one JSON line: {"workload": ..., "n_particles": ...,
 //   "n_constraints": ..., "threads": T, "steps_per_s": S}
 #include <chrono>
+#include <functional>
 #include <cstdio>
 #include <cstring>
 #include <map>
@@ -481,7 +482,6 @@ static int run_rod(int N, int steps) {
     return 0;
 }
 
-#include <functional>
 
 // --------------------------------------------------------------------------
 // fluid NX NY NZ steps: PBF breaking dam with the reference's own

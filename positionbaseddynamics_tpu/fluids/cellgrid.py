@@ -89,13 +89,11 @@ class CellGridSpec:
                      np.maximum(np.ceil((hi - lo) / support), 1))
         n_cells = int(np.prod(dims))
         if max_active is None:
-            # every occupied cell holds ≥1 particle; /2 is generous for
-            # liquids (rest occupancy ≈ (h/diam)³ = 8); loud overflow
-            # counter in build_fluid_tables if it ever binds
             hint = n_fluid_hint if n_fluid_hint else n_cells
-            # rest occupancy is (h/diam)³ = 8 particles/cell; /4 leaves
-            # 2× headroom for splashing before the overflow counter fires
-            max_active = int(min(n_cells, max(hint // 4, 512)))
+            # rest occupancy is (h/diam)³ = 8 particles/cell; /6 leaves
+            # ~25% headroom over a settled liquid's occupied-cell count
+            # before the loud overflow counter fires
+            max_active = int(min(n_cells, max(hint // 6, 512)))
         spec = CellGridSpec(origin=tuple(float(v) for v in lo),
                             dims=dims, cell=float(support), cap=int(cap),
                             max_active=max_active)

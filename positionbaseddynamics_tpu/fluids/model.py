@@ -45,6 +45,11 @@ class FluidState:
     last_x: Array  # (N, 3)
     time: Array    # scalar
     dt: Array      # scalar — CFL-adapted step size carried across steps
+    # running max of fixed-capacity overflow counts (cell/active-cell
+    # caps on the cell-dense path, per-cell candidate cap on the hash
+    # path) — the LOUD failure signal for every capacity in the fluid
+    # pipeline; assert it stays 0 in production rollouts
+    overflow: Array = None
 
     @staticmethod
     def create(x, dt0: float = 0.005) -> "FluidState":
@@ -52,7 +57,8 @@ class FluidState:
         z = jnp.zeros_like(x)
         return FluidState(x=x, v=z, old_x=x, last_x=x,
                           time=jnp.zeros((), jnp.float32),
-                          dt=jnp.float32(dt0))
+                          dt=jnp.float32(dt0),
+                          overflow=jnp.zeros((), jnp.float32))
 
 
 @_register
@@ -75,6 +81,12 @@ class FluidScene:
     max_dt: float = field(metadata=dict(static=True))
     particle_radius: float = field(metadata=dict(static=True))
     gravity: tuple = field(metadata=dict(static=True))
+    # hash-path candidate cap: boundary wall/corner cells hold up to
+    # ~(h/diam)³ ≈ 27+ particles, far above fluid rest occupancy, so the
+    # mixed fluid+boundary hash search needs a deeper per-cell cap than
+    # the fluid-only cell tables (shallow caps silently drop boundary
+    # neighbors and leak fluid through walls)
+    hash_cap: int = field(default=12, metadata=dict(static=True))
 
     @property
     def n_fluid(self) -> int:
@@ -119,8 +131,12 @@ class FluidScene:
         if domain is not None:
             from .cellgrid import CellGridSpec
             lo, hi = domain
+            # transient impact compression reaches ~3× rest occupancy
+            # (measured 24-27 particles per support cell at the dam
+            # front vs 8 at rest) — the cell cap must cover it or the
+            # compressed particles lose their boundary response
             grid = CellGridSpec.create(
-                lo, hi, support, cap=cap_per_cell,
+                lo, hi, support, cap=max(cap_per_cell, 28),
                 boundary_x=boundary_x, boundary_psi=np.asarray(psi),
                 n_fluid_hint=n_fluid)
 
@@ -132,6 +148,8 @@ class FluidScene:
             cap_per_cell=int(cap_per_cell), min_dt=float(min_dt),
             max_dt=float(max_dt), particle_radius=float(particle_radius),
             gravity=tuple(gravity), cellgrid=grid,
+            hash_cap=(max(int(cap_per_cell), 32) if boundary_x.shape[0]
+                      else int(cap_per_cell)),
         )
 
 
@@ -141,7 +159,7 @@ def _sph_sums(x_all, scene: FluidScene):
     mass for fluid neighbors and ψ for boundary neighbors."""
     n = scene.n_fluid
     idx, valid = neighbor_candidates(
-        x_all, scene.support_radius, scene.cap_per_cell)
+        x_all, scene.support_radius, scene.hash_cap)
     idx = idx[:n]
     valid = valid[:n]
     is_fluid_j = idx < n
@@ -264,7 +282,7 @@ def _fluid_step_cells(state: FluidState, scene: FluidScene) -> FluidState:
     x = state.x + h * v
 
     (slot, kept, xt, mt, active, nbr, nbr_ok,
-     _overflow) = build_fluid_tables(spec, x, scene.mass)
+     overflow) = build_fluid_tables(spec, x, scene.mass)
     xt, density, pair_ok = pbf_iterations(
         spec, xt, mt, active, nbr, nbr_ok, scene.iterations,
         scene.density0, scene.support_radius)
@@ -285,8 +303,11 @@ def _fluid_step_cells(state: FluidState, scene: FluidScene) -> FluidState:
         kept[:, None],
         jnp.stack([p.reshape(-1)[slot] for p in vt], -1), v)
 
+    ov = jnp.maximum(state.overflow
+                     if state.overflow is not None else 0.0,
+                     overflow.astype(jnp.float32))
     return FluidState(x=x_new, v=v, old_x=old_x, last_x=last_x,
-                      time=state.time + h, dt=h)
+                      time=state.time + h, dt=h, overflow=ov)
 
 
 def fluid_step(state: FluidState, scene: FluidScene) -> FluidState:
@@ -304,6 +325,9 @@ def fluid_step(state: FluidState, scene: FluidScene) -> FluidState:
 
     x_all = jnp.concatenate([x, scene.boundary_x], 0)
     idx, valid, is_fluid_j, w_j = _sph_sums(x_all, scene)
+    from .neighborhood import cell_overflow
+    ov_step = cell_overflow(x_all, scene.support_radius,
+                            scene.hash_cap).astype(jnp.float32)
 
     def body(x_all, _):
         corr, density = _pbf_iteration(
@@ -319,8 +343,10 @@ def fluid_step(state: FluidState, scene: FluidScene) -> FluidState:
     v = (x - old_x) / h
     v = xsph_viscosity(x, v, idx, valid, is_fluid_j, density, scene)
 
+    ov = jnp.maximum(state.overflow
+                     if state.overflow is not None else 0.0, ov_step)
     return FluidState(x=x, v=v, old_x=old_x, last_x=last_x,
-                      time=state.time + h, dt=h)
+                      time=state.time + h, dt=h, overflow=ov)
 
 
 def make_fluid_step_fn(scene: FluidScene):

@@ -77,6 +77,11 @@ def make_pallas_tet_step(batch: GridTetBatch, inv_mass, *, dt: float,
     vol_e = np.asarray(batch.rest_vol_even, np.float64)
     youngs = float(batch.youngs)
     poisson = float(batch.poisson)
+    # the XLA grid path's solve is a no-op at zero stiffness
+    # (GridTetBatch._solve_family masks on youngs > 0); mirror that
+    # statically — alpha=0 would otherwise make the projection
+    # infinitely stiff instead of disabled
+    project_active = youngs > 0.0
     mu = 0.5 / (1.0 + poisson)
     lame = poisson / ((1.0 + poisson) * (1.0 - 2.0 * poisson))
     h_sub = dt / substeps
@@ -168,7 +173,7 @@ def make_pallas_tet_step(batch: GridTetBatch, inv_mass, *, dt: float,
             lams = ([None] * 5 if max_iterations == 1 else
                     [jnp.zeros((w_win, lp_pad), jnp.float32)
                      for _t in range(5)])
-            for _i in range(max_iterations):
+            for _i in range(max_iterations if project_active else 0):
                 # corner gather cache (8 corners × 3 comps)
                 byl = {0: xc}
                 for a, dl in c_off:

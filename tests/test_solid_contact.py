@@ -87,3 +87,31 @@ def test_stacked_bars_rest_without_interpenetration():
     v = np.asarray(state.particles.v)
     tv = v[top.offset:top.offset + top.mesh.n_vertices]
     assert np.abs(tv).max() < 1.0
+
+
+def test_solid_contact_overflow_counter_zero_on_armadillo():
+    """The compaction capacity (1024) must cover the armadillo scene's
+    actual contacts — the loud counter the buffer promises."""
+    import os
+
+    import jax
+    import pytest
+
+    scene_path = ("/root/reference/data/scenes/"
+                  "ArmadilloCollisionScene.json")
+    if not os.path.exists(scene_path):
+        pytest.skip("reference scenes unavailable")
+    from positionbaseddynamics_tpu.scene import load_scene
+    from positionbaseddynamics_tpu.solver import make_step_fn
+
+    s = load_scene(scene_path, cache_dir="/tmp/pbd_tpu_test_sdf_cache",
+                   max_sdf_resolution=14)
+    fn = make_step_fn(s.cset, s.config, s.pipeline)
+    st = s.state
+    for _ in range(20):
+        st = fn(st)
+    jax.block_until_ready(st.particles.x)
+    p = st.particles
+    c = s.pipeline.detect_solids(p.x, p.v, p.inv_mass)
+    assert float(c.overflow) == 0.0
+    assert float(jnp.sum(c.mask)) >= 0.0
