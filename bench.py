@@ -260,7 +260,7 @@ def bench_rods(args):
     import numpy as np
 
     n_rods, n_seg = args.rod_batch, 51
-    b = SceneBuilder(use_structured_grid=False)
+    b = SceneBuilder()        # lattice fast path (solver/grid_rods.py)
     for rr in range(n_rods):
         pts = np.stack([np.linspace(0.0, 1.0, n_seg),
                         np.full(n_seg, 0.02 * rr), np.zeros(n_seg)], 1)
@@ -270,6 +270,7 @@ def bench_rods(args):
         b.add_rod_constraints(lm, stretch_stiffness=(1.0, 1.0, 1.0),
                               bend_twist_stiffness=(0.5, 0.5, 0.5))
     state, cset = b.build()
+    path = "rod_lattice" if cset.rod_lattices else "unstructured"
     fn = make_step_fn(cset, StepConfig())
     st = jax.block_until_ready(fn(state))
     assert _np.isfinite(_np.asarray(st.particles.x)).all()
@@ -286,6 +287,7 @@ def bench_rods(args):
         "unit": "steps/s",
         "aggregate_rod_steps_per_s": round(sps * n_rods, 1),
         "vs_baseline": round(sps / 60.0, 3),
+        "path": path,
     }))
 
 

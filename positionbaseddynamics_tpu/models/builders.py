@@ -1022,6 +1022,51 @@ class SceneBuilder:
                                   (n_bt, 3)).copy()
             self._bend_twist.append((idx_bt, ksb))
 
+    def _try_rod_lattice(self, x, q0):
+        """Route a batch of IDENTICAL consecutive rods to the lattice
+        fast path (``solver/grid_rods.py``): same segment count, uniform
+        rest length, isotropic uniform stretch stiffness, uniform
+        bend-twist stiffness, contiguous particle/quaternion layout.
+        Returns the batch or None (→ unstructured fallback)."""
+        from ..solver.grid_rods import RodLatticeBatch
+
+        ss = self._stretch_shear
+        bt = self._bend_twist
+        n_seg = len(ss[0][0])
+        n_p = n_seg + 1
+        if any(len(c[0]) != n_seg for c in ss):
+            return None
+        if len(bt) != len(ss) or any(len(c[0]) != n_seg - 1 for c in bt):
+            return None
+        ks = ss[0][2]
+        if not (np.all(ks == ks[0, 0]) and
+                all(np.array_equal(c[2], ks) for c in ss)):
+            return None
+        ksb = bt[0][1]
+        if not all(np.array_equal(c[1], ksb) for c in bt):
+            return None
+        op = int(ss[0][0][0, 0])
+        oq = int(ss[0][1][0])
+        for r, (ip, iq, _) in enumerate(ss):
+            want_p = op + r * n_p + np.arange(n_seg)
+            if not (np.array_equal(ip[:, 0], want_p)
+                    and np.array_equal(ip[:, 1], want_p + 1)
+                    and np.array_equal(iq, oq + r * n_seg
+                                       + np.arange(n_seg))):
+                return None
+        for r, (ib, _) in enumerate(bt):
+            want_q = oq + r * n_seg + np.arange(n_seg - 1)
+            if not (np.array_equal(ib[:, 0], want_q)
+                    and np.array_equal(ib[:, 1], want_q + 1)):
+                return None
+        idx_p = np.concatenate([c[0] for c in ss])
+        rest = np.linalg.norm(x[idx_p[:, 0]] - x[idx_p[:, 1]], axis=-1)
+        if not np.allclose(rest, rest[0], rtol=1e-5):
+            return None
+        return RodLatticeBatch.create(
+            len(ss), n_p, op, oq, q0, float(rest[0]), float(ks[0, 0]),
+            np.asarray(ksb[0], np.float32))
+
     # ---- freeze ----------------------------------------------------------
 
     def _masses(self) -> np.ndarray:
@@ -1305,14 +1350,20 @@ class SceneBuilder:
                 np.concatenate([c[0] for c in self._darboux]), x,
                 np.concatenate([c[1] for c in self._darboux]),
                 np.concatenate([c[2] for c in self._darboux]))
-        if self._stretch_shear:
+        rod_lattice = None
+        if (self.use_structured_grid and self._stretch_shear
+                and len(self._stretch_shear) > 1):
+            rod_lattice = self._try_rod_lattice(x, q0)
+        if rod_lattice is not None:
+            kw["rod_lattices"] = (rod_lattice,)
+        elif self._stretch_shear:
             idx_p = np.concatenate([c[0] for c in self._stretch_shear])
             idx_q = np.concatenate([c[1] for c in self._stretch_shear])
             rest = np.linalg.norm(x[idx_p[:, 0]] - x[idx_p[:, 1]], axis=-1)
             kw["stretch_shear"] = StretchShearBatch.create(
                 idx_p, idx_q, rest,
                 np.concatenate([c[2] for c in self._stretch_shear]))
-        if self._bend_twist:
+        if self._bend_twist and rod_lattice is None:
             kw["bend_twist"] = BendTwistBatch.create(
                 np.concatenate([c[0] for c in self._bend_twist]), q0,
                 np.concatenate([c[1] for c in self._bend_twist]))

@@ -1173,6 +1173,7 @@ class ConstraintSet:
     bend_twist: Optional[BendTwistBatch] = None
     joints: Tuple = ()
     grid_cloths: Tuple = ()   # structured-grid fast path (solver/grid_cloth.py)
+    rod_lattices: Tuple = ()  # uniform-rod fast path (solver/grid_rods.py)
     grid_tets: Tuple = ()     # structured tet-grid fast path (solver/grid_tet.py)
     # build-time-precomputed 1/#constraints-per-item Jacobi denominators,
     # keyed by family name (+ "_q" suffix for quaternion items). Computed by

@@ -182,6 +182,10 @@ def _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg):
     post-correction quaternion renormalization."""
     n = x.shape[0]
     m = q.shape[0]
+    for rl in cset.rod_lattices:
+        # uniform-rod lattice fast path (solver/grid_rods.py) — plane
+        # stencils, jacobi semantics identical to the batches below
+        x, q = rl.project(x, inv_mass, q, inv_mass_q, cfg.jacobi_omega)
     ss = cset.stretch_shear
     if ss is not None:
         if cfg.solver_mode == "gauss_seidel":
