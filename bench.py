@@ -177,6 +177,56 @@ def bench_scene(args):
     }))
 
 
+def bench_pile_big(args, calls=None, steps_per_call=None):
+    """Scalable rigid-contact metric (VERDICT r4 #1): an N-body sphere
+    pile on a static box floor, batched broad phase
+    (``collision/batched.py``) — the workload class the unrolled
+    per-pair path could not compile past ~20 bodies."""
+    import jax
+    import numpy as _np
+    from positionbaseddynamics_tpu.collision import sampling
+    from positionbaseddynamics_tpu.models import SceneBuilder
+    from positionbaseddynamics_tpu.solver import StepConfig, make_step_fn
+
+    n_bodies = args.pile_bodies
+    rng = _np.random.default_rng(0)
+    b = SceneBuilder()
+    floor = b.add_rigid_body((0.0, -0.5, 0.0), mass=0.0)
+    b.add_collision_box(floor, (6.0, 1.0, 6.0))
+    r = 0.25
+    sv = sampling.sample_sphere(r, 32)
+    for i in range(n_bodies):
+        gx, gz = i % 10, (i // 10) % 10
+        body = b.add_rigid_body(
+            (0.55 * gx - 2.5 + 0.02 * rng.standard_normal(),
+             0.8 + 0.55 * (i // 100),
+             0.55 * gz - 2.5 + 0.02 * rng.standard_normal()),
+            mass=1.0, inertia=(0.4 * r * r,) * 3)
+        b.add_collision_sphere(body, r, restitution=0.1, friction=0.3,
+                               verts=sv)
+    state, cset = b.build()
+    pipe = b.build_collision_pipeline(tolerance=0.02,
+                                      broad_phase="batched")
+    fn = make_step_fn(cset, StepConfig(), pipe)
+    state = jax.block_until_ready(fn(state))        # compile + probe
+    assert _np.isfinite(_np.asarray(state.rigid.x)).all()
+    steps = (calls or args.calls) * (steps_per_call or args.steps_per_call)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = fn(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    sps = steps / dt
+    print(json.dumps({
+        "metric": f"rigid_pile_{n_bodies}body_steps_per_s",
+        "value": round(sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 60.0, 3),
+        "capacity_overflow": float(state.overflow),
+        "path": "batched_broadphase",
+    }))
+
+
 def bench_mpc_contact(args):
     """BASELINE config-5-class MPC (VERDICT r3 weak #7): an MPPI planner
     whose rollouts are the FULL coupled-contact ArmadilloCollisionScene
@@ -471,6 +521,14 @@ def main():
     ap.add_argument("--pile", action="store_true",
                     help="benchmark a reference scene played headless "
                          "(PileScene by default; BASELINE configs 4/5)")
+    ap.add_argument("--pile-big", action="store_true",
+                    help="N-body synthetic sphere pile on the batched "
+                         "broad phase (scalable rigid-contact metric)")
+    ap.add_argument("--pile-bodies", type=int, default=100)
+    ap.add_argument("--no-secondary", action="store_true",
+                    help="emit only the headline cloth line (skip the "
+                         "bar/fluid/pile/mpc-contact secondary JSON "
+                         "lines of the default run)")
     ap.add_argument("--scene", default=None,
                     help="scene JSON for --pile (default PileScene)")
     ap.add_argument("--bar-dims", type=int, nargs=3, default=(80, 36, 36),
@@ -508,6 +566,46 @@ def main():
         return bench_bar(args)
     if args.pile:
         return bench_scene(args)
+    if args.pile_big:
+        return bench_pile_big(args)
+
+    # Secondary driver-visible surfaces (VERDICT r4 #6): one quick JSON
+    # line each for the bar, fluid, pile and contact-MPC paths so a
+    # regression in any non-cloth path shows up in BENCH_r*.json. Each
+    # runs under a watchdog and never blocks the headline (errors are
+    # reported as JSON, the headline cloth line always comes LAST — the
+    # driver parses the last line).
+    if not (args.no_secondary or args.check):
+        import copy
+        import signal
+
+        def _safe(name, fn, budget_s=600, **over):
+            a2 = copy.copy(args)
+            for k, v in over.items():
+                setattr(a2, k, v)
+
+            def _alarm(sig, frm):
+                raise TimeoutError(f"{name} exceeded {budget_s}s")
+
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(budget_s)
+            try:
+                fn(a2)
+            except Exception as e:       # noqa: BLE001 — reported loud
+                print(json.dumps({"metric": name,
+                                  "error": f"{type(e).__name__}: {e}"}))
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+
+        _safe("xpbd_fem_bar_103k_steps_per_s", bench_bar,
+              calls=2, steps_per_call=10, check=False, pallas=None)
+        _safe("pbf_dam_12k_steps_per_s", bench_fluid,
+              fluid_dims=(40, 25, 12), calls=2, steps_per_call=10)
+        _safe("rigid_pile_100body_steps_per_s", bench_pile_big,
+              calls=2, steps_per_call=10, pile_bodies=100)
+        _safe("mppi_contact_scene_updates_per_s", bench_mpc_contact,
+              calls=1, mpc_samples=128, mpc_horizon=10)
 
     import jax
     import jax.numpy as jnp

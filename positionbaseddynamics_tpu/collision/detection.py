@@ -113,6 +113,9 @@ class RigidContacts:
     restitution: Array
     friction: Array
     mask: Array        # (K,) float 0/1
+    # active pairs dropped by broad-phase capacity compaction (scalar;
+    # 0 when the capacity sufficed; None on the unrolled path)
+    overflow: Array = None
 
 
 @_register
@@ -133,6 +136,7 @@ class ParticleRigidContacts:
     goal_u_n: Array
     friction: Array
     mask: Array
+    overflow: Array = None
 
 
 def _compute_matrix_k(r: Array, inv_mass: Array, inv_iw: Array) -> Array:
@@ -150,6 +154,89 @@ def _skew(v: Array) -> Array:
         jnp.stack([v[..., 2], zero, -v[..., 0]], -1),
         jnp.stack([-v[..., 1], v[..., 0], zero], -1),
     ], -2)
+
+
+def init_rb_contact_rows(b0, b1, cp0, cp1, n, mask, rest, fric,
+                         rx, rv, rom, inv_mass, inv_iw) -> RigidContacts:
+    """Row-wise rb–rb contact-info init
+    (``init_RigidBodyContactConstraint``,
+    ``PositionBasedRigidBodyDynamics.cpp:2221-2287``). ``b0``/``b1`` are
+    per-row body index ARRAYS (K,) — shared by the unrolled per-pair
+    path and the batched compacted path (``collision/batched.py``)."""
+    k = cp0.shape[0]
+    b0 = jnp.broadcast_to(jnp.asarray(b0, jnp.int32), (k,))
+    b1 = jnp.broadcast_to(jnp.asarray(b1, jnp.int32), (k,))
+    r0 = cp0 - rx[b0]
+    r1 = cp1 - rx[b1]
+    u_rel = (rv[b0] + jnp.cross(rom[b0], r0)
+             - rv[b1] - jnp.cross(rom[b1], r1))
+    u_rel_n = jnp.sum(n * u_rel, -1)
+    t = u_rel - u_rel_n[:, None] * n
+    tl2 = jnp.sum(t * t, -1)
+    t = jnp.where(tl2[:, None] > 1e-6,
+                  t / jnp.sqrt(jnp.maximum(tl2, 1e-30))[:, None], t)
+    k0 = _compute_matrix_k(r0, inv_mass[b0], inv_iw[b0])
+    k1 = _compute_matrix_k(r1, inv_mass[b1], inv_iw[b1])
+    kk = k0 + k1
+    nkn = jnp.einsum("ki,kij,kj->k", n, kk, n)
+    tkt = jnp.einsum("ki,kij,kj->k", t, kk, t)
+    nkn_inv = jnp.where(nkn > 1e-9, 1.0 / jnp.maximum(nkn, 1e-30), 0.0)
+    p_max = jnp.where(tkt > 1e-9,
+                      jnp.sum(u_rel * t, -1) / jnp.maximum(tkt, 1e-30), 0.0)
+    goal = jnp.where(u_rel_n < 0.0, -rest * u_rel_n, 0.0)
+    return RigidContacts(
+        body0=b0, body1=b1,
+        cp0=cp0, cp1=cp1, normal=n, tangent=t,
+        nkn_inv=nkn_inv, p_max=p_max, goal_u_n=goal,
+        restitution=jnp.broadcast_to(rest, (k,)),
+        friction=jnp.broadcast_to(fric, (k,)),
+        mask=mask.astype(jnp.float32) * (nkn > 1e-9),
+    )
+
+
+def init_particle_rb_contact_rows(idx, b1, x, cp1, n, mask, rest, fric,
+                                  v, w, rx, rv, rom, inv_mass, inv_iw
+                                  ) -> ParticleRigidContacts:
+    """Row-wise particle–rigid contact-info init
+    (``init_ParticleRigidBodyContactConstraint``,
+    ``PositionBasedRigidBodyDynamics.cpp:2386-2451``); shared by the
+    unrolled and batched detection paths."""
+    k = x.shape[0]
+    b1 = jnp.broadcast_to(jnp.asarray(b1, jnp.int32), (k,))
+    r1 = cp1 - rx[b1]
+    u_rel = v - (rv[b1] + jnp.cross(rom[b1], r1))
+    u_rel_n = jnp.sum(n * u_rel, -1)
+    t = u_rel - u_rel_n[:, None] * n
+    tl2 = jnp.sum(t * t, -1)
+    t = jnp.where(tl2[:, None] > 1e-6,
+                  t / jnp.sqrt(jnp.maximum(tl2, 1e-30))[:, None], t)
+    kmat = _compute_matrix_k(r1, inv_mass[b1], inv_iw[b1])
+    kmat = kmat + w[:, None, None] * jnp.eye(3)
+    nkn = jnp.einsum("ki,kij,kj->k", n, kmat, n)
+    tkt = jnp.einsum("ki,kij,kj->k", t, kmat, t)
+    nkn_inv = jnp.where(nkn > 1e-9, 1.0 / jnp.maximum(nkn, 1e-30), 0.0)
+    p_max = jnp.where(tkt > 1e-9,
+                      jnp.sum(u_rel * t, -1) / jnp.maximum(tkt, 1e-30),
+                      0.0)
+    goal = jnp.where(u_rel_n < 0.0, -rest * u_rel_n, 0.0)
+    return ParticleRigidContacts(
+        particle=idx, body1=b1,
+        cp0=x, cp1=cp1, normal=n, tangent=t,
+        nkn_inv=nkn_inv, p_max=p_max, goal_u_n=goal,
+        friction=jnp.broadcast_to(fric, (k,)),
+        mask=mask.astype(jnp.float32) * (nkn > 1e-9),
+    )
+
+
+def contacts_overflow(*contact_buffers) -> Array:
+    """Sum the overflow counters of any contact buffers carrying one
+    (0.0 where absent) — the loud-capacity contract surfaced to
+    ``SimState.overflow``."""
+    total = jnp.zeros((), jnp.float32)
+    for c in contact_buffers:
+        if c is not None and getattr(c, "overflow", None) is not None:
+            total = total + c.overflow
+    return total
 
 
 @_register
@@ -172,10 +259,23 @@ class CollisionPipeline:
     # solid-solid: ((point_offset, point_count, point_friction),
     #               TetCollider) pairs (collision/solid.py)
     solid_pairs: Tuple = field(default=(), metadata=dict(static=True))
+    # "unrolled": the per-pair lax.cond path (exact GS contact-order
+    # parity with the reference's pair sweep; compile cost O(M²)).
+    # "batched": fixed-capacity active-pair compaction + one batched
+    # narrow phase per SDF shape kind (collision/batched.py; compile
+    # cost O(#kinds) — the scalable production path).
+    broad_phase: str = field(default="unrolled", metadata=dict(static=True))
+    rb_batched: object = None     # BatchedRigidColliders or None
+    pg_batched: Tuple = ()        # tuple of ParticlePairGroup
 
     @staticmethod
     def create(rigid_colliders=(), particle_groups=(), tolerance=0.01,
-               rb_pairs=None, solid_pairs=()):
+               rb_pairs=None, solid_pairs=(), broad_phase="auto",
+               pair_capacity=None):
+        """``broad_phase``: "unrolled" | "batched" | "auto" (batched once
+        the ordered pair list would unroll more than 24 ``lax.cond``
+        gates). ``pair_capacity`` caps the batched active-pair list per
+        shape-kind group (default ``max(64, 8·M)``)."""
         rigid_colliders = tuple(rigid_colliders)
         if rb_pairs is None:
             n = len(rigid_colliders)
@@ -183,12 +283,31 @@ class CollisionPipeline:
                 (i, j) for i in range(n) for j in range(n)
                 if i != j and rigid_colliders[i].verts is not None
             )
+        rb_pairs = tuple(rb_pairs)
+        particle_groups = tuple(particle_groups)
+        if broad_phase == "auto":
+            n_unrolled = (len(rb_pairs)
+                          + len(particle_groups) * len(rigid_colliders))
+            broad_phase = "batched" if n_unrolled > 24 else "unrolled"
+        rb_batched = None
+        pg_batched = ()
+        if broad_phase == "batched":
+            from .batched import (build_batched_particles,
+                                  build_batched_rigid)
+            rb_batched = build_batched_rigid(
+                rigid_colliders, rb_pairs, tolerance,
+                pair_capacity=pair_capacity)
+            pg_batched = build_batched_particles(
+                particle_groups, rigid_colliders, tolerance)
         return CollisionPipeline(
             rigid_colliders=rigid_colliders,
-            particle_groups=tuple(particle_groups),
+            particle_groups=particle_groups,
             tolerance=tolerance,
-            rb_pairs=tuple(rb_pairs),
+            rb_pairs=rb_pairs,
             solid_pairs=tuple(solid_pairs),
+            broad_phase=broad_phase,
+            rb_batched=rb_batched,
+            pg_batched=pg_batched,
         )
 
     @property
@@ -225,6 +344,12 @@ class CollisionPipeline:
         matching ``TimeStepController.cpp:189-196``)."""
         if not self.rb_pairs:
             return None
+        if self.broad_phase == "batched" and self.rb_batched is not None:
+            from .batched import detect_rigid_batched
+            contacts, of = detect_rigid_batched(
+                self.rb_batched, self.tolerance, rigid,
+                init_rb_contact_rows)
+            return dataclasses.replace(contacts, overflow=of)
         rx, rq, rv, rom = rigid.x, rigid.q, rigid.v, rigid.omega
         inv_mass = rigid.inv_mass
         _, inv_iw = rigid.inertia_world()
@@ -294,34 +419,9 @@ class CollisionPipeline:
     def _init_rb_contact(self, b0, b1, cp0, cp1, n, mask, rest, fric,
                          rx, rv, rom, inv_mass, inv_iw):
         k = cp0.shape[0]
-        r0 = cp0 - rx[b0]
-        r1 = cp1 - rx[b1]
-        u_rel = (rv[b0] + jnp.cross(rom[b0], r0)
-                 - rv[b1] - jnp.cross(rom[b1], r1))
-        u_rel_n = jnp.sum(n * u_rel, -1)
-        t = u_rel - u_rel_n[:, None] * n
-        tl2 = jnp.sum(t * t, -1)
-        t = jnp.where(tl2[:, None] > 1e-6,
-                      t / jnp.sqrt(jnp.maximum(tl2, 1e-30))[:, None], t)
-        k0 = _compute_matrix_k(r0, jnp.broadcast_to(inv_mass[b0], (k,)),
-                               jnp.broadcast_to(inv_iw[b0], (k, 3, 3)))
-        k1 = _compute_matrix_k(r1, jnp.broadcast_to(inv_mass[b1], (k,)),
-                               jnp.broadcast_to(inv_iw[b1], (k, 3, 3)))
-        kk = k0 + k1
-        nkn = jnp.einsum("ki,kij,kj->k", n, kk, n)
-        tkt = jnp.einsum("ki,kij,kj->k", t, kk, t)
-        nkn_inv = jnp.where(nkn > 1e-9, 1.0 / jnp.maximum(nkn, 1e-30), 0.0)
-        p_max = jnp.where(tkt > 1e-9,
-                          jnp.sum(u_rel * t, -1) / jnp.maximum(tkt, 1e-30), 0.0)
-        goal = jnp.where(u_rel_n < 0.0, -rest * u_rel_n, 0.0)
-        return RigidContacts(
-            body0=jnp.full((k,), b0, jnp.int32),
-            body1=jnp.full((k,), b1, jnp.int32),
-            cp0=cp0, cp1=cp1, normal=n, tangent=t,
-            nkn_inv=nkn_inv, p_max=p_max, goal_u_n=goal,
-            restitution=rest, friction=fric,
-            mask=mask.astype(jnp.float32) * (nkn > 1e-9),
-        )
+        return init_rb_contact_rows(
+            jnp.full((k,), b0, jnp.int32), jnp.full((k,), b1, jnp.int32),
+            cp0, cp1, n, mask, rest, fric, rx, rv, rom, inv_mass, inv_iw)
 
     def detect_particles(self, px, pv, p_inv_mass, rigid
                          ) -> Optional[ParticleRigidContacts]:
@@ -329,6 +429,14 @@ class CollisionPipeline:
         (``collisionDetectionRBSolid`` → ``init_ParticleRigidBodyContact…``)."""
         if not (self.particle_groups and self.rigid_colliders):
             return None
+        if self.broad_phase == "batched":
+            from .batched import detect_particles_batched
+            contacts, of = detect_particles_batched(
+                self.pg_batched, self.tolerance, px, pv, p_inv_mass,
+                rigid, init_particle_rb_contact_rows)
+            if contacts is None:
+                return None
+            return dataclasses.replace(contacts, overflow=of)
         rx, rq, rv, rom = rigid.x, rigid.q, rigid.v, rigid.omega
         inv_mass = rigid.inv_mass
         _, inv_iw = rigid.inertia_world()
@@ -361,37 +469,11 @@ class CollisionPipeline:
                     mask = ((dist < 0.0) & (jnp.sum(n * n, -1) > 0.5)
                             & ((w > 0.0) | (inv_mass[b1] > 0.0)))
                     cp1 = x - dist[:, None] * n
-                    r1 = cp1 - rx[b1]
-                    u_rel = v - (rv[b1] + jnp.cross(rom[b1], r1))
-                    u_rel_n = jnp.sum(n * u_rel, -1)
-                    t = u_rel - u_rel_n[:, None] * n
-                    tl2 = jnp.sum(t * t, -1)
-                    t = jnp.where(
-                        tl2[:, None] > 1e-6,
-                        t / jnp.sqrt(jnp.maximum(tl2, 1e-30))[:, None], t)
-                    kmat = _compute_matrix_k(
-                        r1, jnp.broadcast_to(inv_mass[b1], (k,)),
-                        jnp.broadcast_to(inv_iw[b1], (k, 3, 3)))
-                    kmat = kmat + w[:, None, None] * jnp.eye(3)
-                    nkn = jnp.einsum("ki,kij,kj->k", n, kmat, n)
-                    tkt = jnp.einsum("ki,kij,kj->k", t, kmat, t)
-                    nkn_inv = jnp.where(nkn > 1e-9,
-                                        1.0 / jnp.maximum(nkn, 1e-30), 0.0)
-                    p_max = jnp.where(
-                        tkt > 1e-9,
-                        jnp.sum(u_rel * t, -1) / jnp.maximum(tkt, 1e-30),
-                        0.0)
-                    rest = pg.restitution * cb.restitution
-                    goal = jnp.where(u_rel_n < 0.0, -rest * u_rel_n, 0.0)
-                    return ParticleRigidContacts(
-                        particle=idx,
-                        body1=jnp.full((k,), b1, jnp.int32),
-                        cp0=x, cp1=cp1, normal=n, tangent=t,
-                        nkn_inv=nkn_inv, p_max=p_max, goal_u_n=goal,
-                        friction=jnp.broadcast_to(
-                            pg.friction + cb.friction, (k,)),
-                        mask=mask.astype(jnp.float32) * (nkn > 1e-9),
-                    )
+                    return init_particle_rb_contact_rows(
+                        idx, jnp.full((k,), b1, jnp.int32), x, cp1, n,
+                        mask, pg.restitution * cb.restitution,
+                        pg.friction + cb.friction, v, w,
+                        rx, rv, rom, inv_mass, inv_iw)
 
                 reach = cb.shape_radius + self.tolerance
                 if np.isfinite(reach):

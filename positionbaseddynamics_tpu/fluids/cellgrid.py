@@ -83,6 +83,15 @@ class CellGridSpec:
     @staticmethod
     def create(lo, hi, support, cap=12, boundary_x=None, boundary_psi=None,
                max_active=None, n_fluid_hint=None):
+        """``max_active`` defaults to ``n_fluid/6`` — valid for settled
+        or pouring liquids (~8 particles per support cell at rest). A
+        fully DISPERSED spray/splash phase can occupy far more cells
+        than n/6; occupied cells beyond the cap silently lose their SPH
+        interactions for the step, detected only via the overflow
+        counter (ADVICE r4). If a workload has a ballistic/spray phase,
+        pass ``max_active`` explicitly (up to the domain cell count) and
+        ALWAYS check ``FluidState.overflow == 0`` in production drives —
+        bench.py and the tests assert it."""
         lo = np.asarray(lo, np.float64) - support
         hi = np.asarray(hi, np.float64) + support
         dims = tuple(int(v) for v in

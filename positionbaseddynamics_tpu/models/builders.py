@@ -618,10 +618,18 @@ class SceneBuilder:
             cache_dir=cache_dir))
 
     def build_collision_pipeline(self, tolerance=0.01,
-                                 max_collider_verts=512):
+                                 max_collider_verts=512,
+                                 broad_phase="auto", pair_capacity=None):
         """Freeze accumulated colliders into a jit-ready
         ``CollisionPipeline`` (pass it to ``solver.step``/``rollout``).
         Default tolerance 0.01 per ``CollisionDetection.cpp:25``.
+
+        ``broad_phase``: "auto" (default) picks the batched
+        compacted-pair pipeline (``collision/batched.py``) once the
+        scene has enough collider pairs that Python-unrolling them would
+        dominate compile time; "unrolled"/"batched" force a path.
+        ``pair_capacity`` bounds the batched active-pair list per shape
+        kind (overflow counted in ``SimState.overflow``).
 
         Pairs where *both* bodies are static are dropped (nothing can
         move), and point-side sample clouds larger than
@@ -662,7 +670,14 @@ class SceneBuilder:
             if verts_np is not None and len(verts_np) >= 16:
                 # fixed-depth bounding-sphere hierarchy (collision/
                 # bvh.py): Morton-sorted verts + per-block spheres for
-                # the reference's kd-sphere SDF predicate
+                # the reference's kd-sphere SDF predicate.
+                # NOTE (ADVICE r4): the Morton reorder changes contact-
+                # row buffer order; with contact_solver_mode=
+                # "gauss_seidel" (sequential sweep for reference parity)
+                # the sweep order then differs from an oracle fed the
+                # un-sorted verts. Exact-GS parity runs should pass the
+                # verts explicitly in oracle order (<16 verts skips the
+                # reorder, which is why the 8-vert parity boxes agree).
                 verts_np, centers, radii = build_block_spheres(
                     verts_np, block_size=16)
                 bc = jnp.asarray(centers)
@@ -729,7 +744,9 @@ class SceneBuilder:
                 if pg[0] != tc.offset)
         return CollisionPipeline.create(rcs, pgs, tolerance=tolerance,
                                         rb_pairs=rb_pairs,
-                                        solid_pairs=solid_pairs)
+                                        solid_pairs=solid_pairs,
+                                        broad_phase=broad_phase,
+                                        pair_capacity=pair_capacity)
 
     # ---- low-level constraint adders (SimulationModel.h:186-249) ---------
     # Scalar and bulk (array) forms share the same chunk accumulators.

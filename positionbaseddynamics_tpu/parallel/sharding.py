@@ -47,12 +47,15 @@ def shard_batch(state, mesh: Mesh, axis: str = ROLLOUT_AXIS):
 
 
 def make_sharded_step_fn(cset: ConstraintSet, cfg: StepConfig, mesh: Mesh,
-                         axis: str = ROLLOUT_AXIS):
+                         axis: str = ROLLOUT_AXIS, pipeline=None):
     """Jitted batched step ``(B, ...) state → state`` with the batch axis
     sharded over ``mesh``. Constraint arrays are closed over (replicated);
-    XLA partitions the vmapped program with no hot-loop collectives."""
+    XLA partitions the vmapped program with no hot-loop collectives.
+    ``pipeline`` (optional CollisionPipeline) runs contact detection per
+    rollout — the batched broad phase (collision/batched.py) is
+    compaction-based, so it vmaps with static shapes."""
     sharding = NamedSharding(mesh, P(axis))
-    vstep = jax.vmap(lambda s: step(s, cset, cfg))
+    vstep = jax.vmap(lambda s: step(s, cset, cfg, pipeline))
 
     @jax.jit
     def fn(state):

@@ -151,6 +151,12 @@ class SimState:
     orientations: Optional[OrientationState]
     rigid: Optional[RigidState]
     time: Array  # scalar
+    # max-accumulated capacity-overflow counter (broad-phase active-pair
+    # drops + solid-contact compaction drops, cf. FluidState.overflow);
+    # 0 means every fixed-capacity buffer sufficed. None on states built
+    # before the counter existed (the stepper then leaves it None so
+    # pytree structure stays scan-stable).
+    overflow: Optional[Array] = None
 
     @staticmethod
     def create(particles: ParticleState,
@@ -159,6 +165,7 @@ class SimState:
         return SimState(
             particles=particles, orientations=orientations, rigid=rigid,
             time=jnp.zeros((), jnp.float32),
+            overflow=jnp.zeros((), jnp.float32),
         )
 
     def reset(self) -> "SimState":
@@ -183,4 +190,6 @@ class SimState:
                 old_q=r.q0, last_q=r.q0, ext_force=z, ext_torque=z,
             )
         return SimState(particles=p, orientations=o, rigid=r,
-                        time=jnp.zeros_like(self.time))
+                        time=jnp.zeros_like(self.time),
+                        overflow=(None if self.overflow is None
+                                  else jnp.zeros_like(self.overflow)))

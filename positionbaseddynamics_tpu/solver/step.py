@@ -182,6 +182,14 @@ def _project_rod_batches(x, inv_mass, q, inv_mass_q, cset, cfg):
     post-correction quaternion renormalization."""
     n = x.shape[0]
     m = q.shape[0]
+    if cset.rod_lattices and cfg.solver_mode == "gauss_seidel":
+        # the lattice fast path has Jacobi semantics only; silent-mode
+        # substitution would break GS parity runs (ADVICE r4) — fail
+        # loudly like the other structured paths used to
+        raise ValueError(
+            "rod-lattice fast path has no gauss_seidel mode; rebuild the "
+            "scene with SceneBuilder.build(use_structured_grid=False) "
+            "for color-sequential rod parity")
     for rl in cset.rod_lattices:
         # uniform-rod lattice fast path (solver/grid_rods.py) — plane
         # stencils, jacobi semantics identical to the batches below
@@ -475,6 +483,13 @@ def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
     if has_contacts:
         rc = pipeline.detect_rigid(r)
         pc = pipeline.detect_particles(px, pv, p.inv_mass, r)
+        if state.overflow is not None and (rc is not None or pc is not None):
+            # loud capacity contract: broad-phase active-pair drops
+            # accumulate into the state counter (assertable ==0)
+            from ..collision.detection import contacts_overflow
+            state = dataclasses.replace(
+                state, overflow=jnp.maximum(
+                    state.overflow, contacts_overflow(rc, pc)))
     rc_sum = jnp.zeros((rc.mask.shape[0],), jnp.float32) if rc is not None else None
     pc_sum = jnp.zeros((pc.mask.shape[0],), jnp.float32) if pc is not None else None
 
@@ -526,6 +541,13 @@ def step(state: SimState, cset: ConstraintSet, cfg: StepConfig,
     if pipeline is not None and getattr(pipeline, "solid_pairs", ()):
         p = state.particles
         solid_contacts = pipeline.detect_solids(p.x, p.v, p.inv_mass)
+        if (state.overflow is not None and solid_contacts is not None
+                and solid_contacts.overflow is not None):
+            # surface the solid-contact compaction drops (ADVICE r4):
+            # max-accumulated like FluidState.overflow, assertable ==0
+            state = dataclasses.replace(
+                state, overflow=jnp.maximum(state.overflow,
+                                            solid_contacts.overflow))
 
     def body(s, _):
         return _substep(s, cset, h, cfg, solid_contacts), None
