@@ -227,6 +227,43 @@ def bench_pile_big(args, calls=None, steps_per_call=None):
     }))
 
 
+def bench_armadillo_batch(args):
+    """VERDICT r4 #4: batched unstructured-mesh rollouts — B parallel
+    full-solver ArmadilloCollisionScene rollouts vmapped on one chip
+    (scatter plans + gathers shared across the batch so every scatter
+    row carries B×12 useful bytes). Reports steps/s **per rollout**."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    from positionbaseddynamics_tpu.scene import load_scene
+    from positionbaseddynamics_tpu.solver.step import step as step_fn
+
+    s = load_scene(
+        "/root/reference/data/scenes/ArmadilloCollisionScene.json",
+        cache_dir="/tmp/pbd_bench_sdf_cache", max_sdf_resolution=14)
+    state0, cset, cfg, pipe = s.state, s.cset, s.config, s.pipeline
+    b = args.batch if args.batch > 1 else 32
+    batch = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (b,) + a.shape), state0)
+    vstep = jax.jit(jax.vmap(lambda st: step_fn(st, cset, cfg, pipe)))
+    batch = jax.block_until_ready(vstep(batch))
+    assert _np.isfinite(_np.asarray(batch.particles.x)).all()
+    steps = args.calls * args.steps_per_call
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        batch = vstep(batch)
+    jax.block_until_ready(batch)
+    dt = time.perf_counter() - t0
+    sps = steps / dt
+    print(json.dumps({
+        "metric": f"armadillo_batch{b}_steps_per_s_per_rollout",
+        "value": round(sps, 2),
+        "aggregate_steps_per_s": round(sps * b, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 60.0, 3),
+    }))
+
+
 def bench_mpc_contact(args):
     """BASELINE config-5-class MPC (VERDICT r3 weak #7): an MPPI planner
     whose rollouts are the FULL coupled-contact ArmadilloCollisionScene
@@ -295,6 +332,64 @@ def bench_mpc_contact(args):
         "unit": "planner updates/s",
         "vs_baseline": round(upd * k_samples * horizon / 60.0, 3),
         "scene": "ArmadilloCollisionScene (full contact pipeline)",
+    }))
+
+
+def bench_rods_tree(args):
+    """Branched stiff-rod TREE via the scheduled tree-ordered
+    elimination (VERDICT r4 #9): a ~100-constraint random tree
+    (Wilberforce-class topology at 25× the scene's size) solved exactly
+    every iteration."""
+    import dataclasses as dc
+    import jax
+    import numpy as _np
+    from positionbaseddynamics_tpu.models import SceneBuilder
+    from positionbaseddynamics_tpu.solver import StepConfig, make_step_fn
+
+    rng = _np.random.default_rng(0)
+    n_seg = args.rod_batch if args.rod_batch < 512 else 101
+    seg_len, radius, density = 0.3, 0.05, 1000.0
+    mass = density * _np.pi * radius**2 * seg_len
+    ix = 0.5 * mass * radius**2
+    iyz = mass * (3 * radius**2 + seg_len**2) / 12.0
+    b = SceneBuilder()
+    bodies = [b.add_rigid_body((0.0, 0.0, 0.0), mass=0.0,
+                               inertia=(ix, iyz, iyz))]
+    centers = [_np.zeros(3)]
+    edges, positions = [], []
+    for i in range(1, n_seg):
+        parent = int(rng.integers(0, i))
+        d = rng.standard_normal(3)
+        d /= _np.linalg.norm(d)
+        joint = centers[parent] + 0.5 * seg_len * d
+        c = joint + 0.5 * seg_len * d
+        centers.append(c)
+        bodies.append(b.add_rigid_body(tuple(c), mass=mass,
+                                       inertia=(ix, iyz, iyz)))
+        edges.append((parent, i))
+        positions.append(tuple(joint))
+    b.add_direct_rod_tree(bodies, edges, positions, radius, seg_len,
+                          1e6, 1e6)
+    state, cset = b.build()
+    db = cset.direct_rods[0]
+    cset = dc.replace(cset, direct_rods=tuple([dc.replace(
+        db, solver="tree")]))
+    fn = make_step_fn(cset, StepConfig())
+    st = jax.block_until_ready(fn(state))
+    assert _np.isfinite(_np.asarray(st.rigid.x)).all()
+    steps = args.calls * args.steps_per_call
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        st = fn(st)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+    sps = steps / dt
+    print(json.dumps({
+        "metric": f"stiff_rod_tree_{n_seg - 1}c_steps_per_s",
+        "value": round(sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 60.0, 3),
+        "path": "tree_scheduled",
     }))
 
 
@@ -404,7 +499,7 @@ def bench_bar(args):
     b.add_solid_constraints(tm, method=3, stiffness=1e5, poisson_ratio=0.3)
     state, cset = b.build()
     assert cset.grid_tets, "structured tet path not engaged"
-    cfg = StepConfig()
+    cfg = StepConfig(max_iterations=args.max_iterations)
 
     if args.pallas is not False:
         # fused Pallas tet kernel (solver/grid_tet_pallas.py);
@@ -445,7 +540,9 @@ def bench_bar(args):
         steps = args.calls * args.steps_per_call
         steps_per_s = steps / dt
         print(json.dumps({
-            "metric": f"xpbd_fem_bar_{w * h * d // 1000}k_steps_per_s",
+            "metric": f"xpbd_fem_bar_{w * h * d // 1000}k_steps_per_s"
+                      + (f"_it{cfg.max_iterations}"
+                         if cfg.max_iterations != 1 else ""),
             "value": round(steps_per_s, 2),
             "unit": "steps/s",
             "vs_baseline": round(steps_per_s / 60.0, 3),
@@ -479,6 +576,10 @@ def main():
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--steps-per-call", type=int, default=20)
+    ap.add_argument("--max-iterations", type=int, default=1,
+                    help="position-iteration budget per substep (the "
+                         "reference's maxIterations; default 1) — "
+                         "applied to the cloth/bar paths incl. --check")
     ap.add_argument("--calls", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--timers", action="store_true",
@@ -506,9 +607,15 @@ def main():
     ap.add_argument("--mpc-contact", action="store_true",
                     help="MPPI over full coupled-contact scene rollouts "
                          "(BASELINE config-5 class)")
+    ap.add_argument("--armadillo-batch", action="store_true",
+                    help="B batched full-solver ArmadilloCollisionScene "
+                         "rollouts (per-rollout steps/s; --batch sets B)")
     ap.add_argument("--rods", action="store_true",
                     help="batched Cosserat rod scene metric")
     ap.add_argument("--rod-batch", type=int, default=1024)
+    ap.add_argument("--tree", action="store_true",
+                    help="with --rods: branched stiff-rod tree via the "
+                         "scheduled tree-ordered elimination")
     ap.add_argument("--fluid", action="store_true",
                     help="PBF breaking-dam metric (~100k particles)")
     ap.add_argument("--fluid-dims", type=int, nargs=3,
@@ -558,7 +665,11 @@ def main():
         return bench_mpc_big(args)
     if args.mpc_contact:
         return bench_mpc_contact(args)
+    if args.armadillo_batch:
+        return bench_armadillo_batch(args)
     if args.rods:
+        if args.tree:
+            return bench_rods_tree(args)
         return bench_rods(args)
     if args.fluid:
         return bench_fluid(args)
@@ -619,7 +730,7 @@ def main():
     b.add_cloth_constraints(tm, method=4, distance_stiffness=1e5)
     b.add_bending_constraints(tm, method=3, stiffness=0.05)
     state, cset = b.build()
-    cfg = StepConfig()
+    cfg = StepConfig(max_iterations=args.max_iterations)
 
     def chunk(s):
         return rollout(s, cset, cfg, args.steps_per_call)[0]

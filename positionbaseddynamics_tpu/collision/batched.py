@@ -92,11 +92,22 @@ class RigidPairGroup:
 @dataclass(frozen=True)
 class BatchedRigidColliders:
     """Stacked point-side data (shared by all groups) + per-kind pair
-    groups. Built once at scene-build time (`build_batched_rigid`)."""
+    groups. Built once at scene-build time (`build_batched_rigid`).
+
+    ``verts`` are Morton-sorted so 16-vertex BLOCKS are spatially
+    compact; ``block_c``/``block_r`` are their body-frame bounding
+    spheres. The narrow phase then runs in two compaction levels: SDF at
+    block centers gates (pair, block) candidates (the reference's
+    kd-sphere predicate, ``DistanceFieldCollisionDetection.cpp:226-247``),
+    and only surviving blocks' vertices are evaluated."""
 
     vmax: int = field(metadata=dict(static=True))
+    block_size: int = field(default=16, metadata=dict(static=True))
+    bmax: int = field(default=0, metadata=dict(static=True))
     verts: Array = None       # (M, Vmax, 3) padded body-frame samples
     vmask: Array = None       # (M, Vmax) 1 for real vertices
+    block_c: Array = None     # (M, Bmax, 3) block sphere centers
+    block_r: Array = None     # (M, Bmax) block radii (-inf padding)
     groups: Tuple = ()        # tuple of RigidPairGroup (pytree children)
 
 
@@ -104,18 +115,28 @@ def build_batched_rigid(rigid_colliders, rb_pairs, tolerance,
                         pair_capacity=None):
     """Freeze the collider list + ordered pair list into the batched
     broad-phase structures. All heavy lifting is NumPy at build time."""
+    from .bvh import build_block_spheres
+
     if not rb_pairs:
         return None
+    bs = 16
     m = len(rigid_colliders)
     vmax = max(int(rigid_colliders[i].verts.shape[0])
                for (i, _) in rb_pairs)
+    vmax = bs * (-(-vmax // bs))          # round up to whole blocks
+    bmax = vmax // bs
     verts = np.zeros((m, vmax, 3), np.float32)
     vmask = np.zeros((m, vmax), np.float32)
+    block_c = np.zeros((m, bmax, 3), np.float32)
+    block_r = np.full((m, bmax), -np.inf, np.float32)
     for ci, co in enumerate(rigid_colliders):
-        if co.verts is not None:
-            v = np.asarray(co.verts, np.float32)
-            verts[ci, :len(v)] = v
-            vmask[ci, :len(v)] = 1.0
+        if co.verts is not None and co.verts.shape[0]:
+            vs, centers, radii = build_block_spheres(
+                np.asarray(co.verts, np.float32), block_size=bs)
+            verts[ci, :len(vs)] = vs
+            vmask[ci, :len(vs)] = 1.0
+            block_c[ci, :len(centers)] = centers
+            block_r[ci, :len(radii)] = radii
 
     # group pairs by the SDF side's shape-kind key
     by_key = {}
@@ -166,22 +187,32 @@ def build_batched_rigid(rigid_colliders, rb_pairs, tolerance,
             reach=jnp.asarray(reach), rest=jnp.asarray(rest),
             fric=jnp.asarray(fric), shapes=shapes,
             frame_rot=jnp.asarray(fr), frame_t=jnp.asarray(ft)))
-    return BatchedRigidColliders(vmax=vmax, verts=jnp.asarray(verts),
+    return BatchedRigidColliders(vmax=vmax, block_size=bs, bmax=bmax,
+                                 verts=jnp.asarray(verts),
                                  vmask=jnp.asarray(vmask),
+                                 block_c=jnp.asarray(block_c),
+                                 block_r=jnp.asarray(block_r),
                                  groups=tuple(groups))
 
 
 def _compact(active, capacity, n):
-    """Stable compaction of the active-pair mask to ``capacity`` slots.
+    """Stable compaction of the active-pair mask to ``capacity`` slots,
+    original order preserved. O(n) cumsum + scatter — an argsort here
+    costs a full device sort per detection call and dominated the
+    contact pipeline when it sat in the per-step hot path.
     Returns ``(sel, act_sel, n_dropped)``."""
     if capacity >= n:
         return (jnp.arange(n, dtype=jnp.int32), active,
                 jnp.zeros((), jnp.float32))
-    order = jnp.argsort(jnp.logical_not(active), stable=True)
-    sel = order[:capacity].astype(jnp.int32)
+    pos = jnp.cumsum(active) - 1                    # slot per active row
+    tgt = jnp.where(active & (pos < capacity), pos, capacity)
+    sel = jnp.full((capacity,), n, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    act = sel < n
+    sel = jnp.minimum(sel, n - 1)
     n_active = jnp.sum(active.astype(jnp.float32))
     dropped = jnp.maximum(n_active - capacity, 0.0)
-    return sel, active[sel], dropped
+    return sel, act, dropped
 
 
 def detect_rigid_batched(bc: BatchedRigidColliders, tolerance,
@@ -193,6 +224,38 @@ def detect_rigid_batched(bc: BatchedRigidColliders, tolerance,
     inv_mass = rigid.inv_mass
     _, inv_iw = rigid.inertia_world()
     inv_iw = inv_iw * (inv_mass > 0.0)[..., None, None]
+
+    def _narrow(shapes_sel, fr, ft, bi, bj, verts, vm, act, rest_p,
+                fric_p, n_verts):
+        """Shared vert-level narrow phase: per-row pair data, vertex
+        block (C, n_verts, 3); returns flattened contact rows."""
+        c = verts.shape[0]
+        ra = quat.to_matrix(rq[bi])             # (C, 3, 3)
+        verts_w = (jnp.einsum("cij,cvj->cvi", ra, verts)
+                   + rx[bi][:, None, :])
+        rb = quat.to_matrix(rq[bj])
+        xl = jnp.einsum("cji,cvj->cvi", rb,
+                        verts_w - rx[bj][:, None, :])     # Rᵀ(p - x)
+        xl = jnp.einsum("cij,cvj->cvi", fr, xl) + ft[:, None, :]
+        dist, nl = jax.vmap(
+            lambda sh, pts: (sh.distance(pts), sh.normal(pts))
+        )(shapes_sel, xl)
+        dist = dist - tolerance
+        nb = jnp.einsum("cji,cvj->cvi", fr, nl)  # shape -> body frame
+        n = jnp.einsum("cij,cvj->cvi", rb, nb)   # body -> world
+        mask = ((dist < 0.0) & (jnp.sum(n * n, -1) > 0.5)
+                & vm & act[:, None])
+        cp0 = verts_w
+        cp1 = verts_w - dist[..., None] * n
+        k = c * n_verts
+        b0 = jnp.broadcast_to(bi[:, None], (c, n_verts)).reshape(k)
+        b1 = jnp.broadcast_to(bj[:, None], (c, n_verts)).reshape(k)
+        rest = jnp.broadcast_to(rest_p[:, None], (c, n_verts)).reshape(k)
+        fric = jnp.broadcast_to(fric_p[:, None], (c, n_verts)).reshape(k)
+        return init_rows(
+            b0, b1, cp0.reshape(k, 3), cp1.reshape(k, 3),
+            n.reshape(k, 3), mask.reshape(k), rest, fric,
+            rx, rv, rom, inv_mass, inv_iw)
 
     rows = []
     overflow = jnp.zeros((), jnp.float32)
@@ -207,43 +270,50 @@ def detect_rigid_batched(bc: BatchedRigidColliders, tolerance,
         bi = g.pair_bi[sel]
         bj = g.pair_bj[sel]
         c = sel.shape[0]
-        v = bc.verts[i_sel]                     # (C, Vmax, 3)
-        vm = bc.vmask[i_sel] > 0.5              # (C, Vmax)
-
-        ra = quat.to_matrix(rq[bi])             # (C, 3, 3)
-        verts_w = (jnp.einsum("cij,cvj->cvi", ra, v)
-                   + rx[bi][:, None, :])
-        rb = quat.to_matrix(rq[bj])
-        xl = jnp.einsum("cji,cvj->cvi", rb,
-                        verts_w - rx[bj][:, None, :])     # Rᵀ(p - x)
+        shapes_sel = jax.tree.map(lambda a: a[jj], g.shapes)
         fr = g.frame_rot[jj]
         ft = g.frame_t[jj]
-        xl = jnp.einsum("cij,cvj->cvi", fr, xl) + ft[:, None, :]
 
-        shapes_sel = jax.tree.map(lambda a: a[jj], g.shapes)
-        dist, nl = jax.vmap(
-            lambda sh, pts: (sh.distance(pts), sh.normal(pts))
-        )(shapes_sel, xl)
-        dist = dist - tolerance
-        nb = jnp.einsum("cji,cvj->cvi", fr, nl)  # shape -> body frame
-        n = jnp.einsum("cij,cvj->cvi", rb, nb)   # body -> world
+        if bc.bmax <= 2:
+            # small point clouds: block gating buys nothing — evaluate
+            # every vertex of each compacted pair directly
+            rows.append(_narrow(
+                shapes_sel, fr, ft, bi, bj, bc.verts[i_sel],
+                bc.vmask[i_sel] > 0.5, act, g.rest[sel], g.fric[sel],
+                bc.vmax))
+            continue
 
-        mask = ((dist < 0.0) & (jnp.sum(n * n, -1) > 0.5)
-                & vm & act[:, None])
-        cp0 = verts_w
-        cp1 = verts_w - dist[..., None] * n
+        # compaction level 2 — the reference's kd-sphere predicate
+        # "SDF(block center) − tol < block radius" over ALL (pair,
+        # block) candidates at once, then only surviving blocks'
+        # vertices enter the vert-level narrow phase
+        bcs = bc.block_c[i_sel]                  # (C, Bmax, 3)
+        brs = bc.block_r[i_sel]                  # (C, Bmax); -inf pad
+        ra = quat.to_matrix(rq[bi])
+        cw = (jnp.einsum("cij,cbj->cbi", ra, bcs)
+              + rx[bi][:, None, :])
+        rb = quat.to_matrix(rq[bj])
+        cl = jnp.einsum("cji,cbj->cbi", rb, cw - rx[bj][:, None, :])
+        cl = jnp.einsum("cij,cbj->cbi", fr, cl) + ft[:, None, :]
+        dist_b = jax.vmap(lambda sh, pts: sh.distance(pts))(
+            shapes_sel, cl) - tolerance
+        hit = (dist_b < brs) & act[:, None]      # (C, Bmax)
 
-        k = c * bc.vmax
-        b0 = jnp.broadcast_to(bi[:, None], (c, bc.vmax)).reshape(k)
-        b1 = jnp.broadcast_to(bj[:, None], (c, bc.vmax)).reshape(k)
-        rest = jnp.broadcast_to(g.rest[sel][:, None],
-                                (c, bc.vmax)).reshape(k)
-        fric = jnp.broadcast_to(g.fric[sel][:, None],
-                                (c, bc.vmax)).reshape(k)
-        rows.append(init_rows(
-            b0, b1, cp0.reshape(k, 3), cp1.reshape(k, 3),
-            n.reshape(k, 3), mask.reshape(k), rest, fric,
-            rx, rv, rom, inv_mass, inv_iw))
+        n_cand = c * bc.bmax
+        cap2 = int(min(n_cand, max(128, 2 * g.capacity)))
+        sel2, act2, dropped2 = _compact(hit.reshape(-1), cap2, n_cand)
+        overflow = overflow + dropped2
+        pb = sel2 // bc.bmax
+        blk = sel2 % bc.bmax
+        vidx = (blk[:, None] * bc.block_size
+                + jnp.arange(bc.block_size, dtype=jnp.int32)[None, :])
+        i2 = i_sel[pb]
+        rows.append(_narrow(
+            jax.tree.map(lambda a: a[pb], shapes_sel),
+            fr[pb], ft[pb], bi[pb], bj[pb],
+            bc.verts[i2[:, None], vidx],
+            bc.vmask[i2[:, None], vidx] > 0.5, act2,
+            g.rest[sel][pb], g.fric[sel][pb], bc.block_size))
     contacts = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *rows)
     return contacts, overflow
 

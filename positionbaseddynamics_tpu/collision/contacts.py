@@ -27,20 +27,29 @@ from .detection import ParticleRigidContacts, RigidContacts
 Array = jax.Array
 
 
-def _impulse(c, u_rel, sum_impulses, stiffness):
-    """Shared impulse logic for both contact families. Returns
-    ``(p (K,3), new_sum)``."""
+def _impulse(c, u_rel, sum_impulses, stiffness, row_w=None):
+    """Shared impulse logic for both contact families. ``row_w`` is the
+    Jacobi row weight (1/#active rows on the most-contended body):
+    simultaneous rows in a contact patch each see the full approach
+    velocity, so applying every row's full impulse MULTIPLIES the
+    response by the patch size — spheres visibly gained energy across
+    bounces until the weighting landed (the sequential reference sweep
+    lets the first row absorb the approach). Returns ``(p, new_sum)``."""
     u_rel_n = jnp.sum(c.normal * u_rel, -1)
     corr = c.nkn_inv * (c.goal_u_n - u_rel_n)
     corr = jnp.maximum(corr, -sum_impulses)
     d = jnp.sum(c.normal * (c.cp0 - c.cp1), -1)
     corr = corr - jnp.where(d < 0.0, stiffness * c.nkn_inv * d, 0.0)
+    if row_w is not None:
+        corr = corr * row_w
     new_sum = sum_impulses + corr * c.mask
     p = corr[:, None] * c.normal
     pn = corr  # p·n
     ft = jnp.where(c.friction * pn > c.p_max, c.p_max,
                    jnp.where(c.friction * pn < -c.p_max, -c.p_max,
                              c.friction * pn))
+    if row_w is not None:
+        ft = ft * row_w
     p = p - ft[:, None] * c.tangent
     return p * c.mask[:, None], new_sum
 
@@ -53,7 +62,16 @@ def solve_rigid_contacts(c: RigidContacts, rx, rv, rom, inv_mass, inv_iw,
     r1 = c.cp1 - rx[c.body1]
     u_rel = (rv[c.body0] + jnp.cross(rom[c.body0], r0)
              - rv[c.body1] - jnp.cross(rom[c.body1], r1))
-    p, sum_impulses = _impulse(c, u_rel, sum_impulses, stiffness)
+    nb = rv.shape[0]
+    cnt = (jnp.zeros((nb,), jnp.float32).at[c.body0].add(c.mask)
+           .at[c.body1].add(c.mask))
+    # rows only contend through DYNAMIC bodies (a static floor absorbs
+    # every row independently)
+    cnt = jnp.where(inv_mass > 0.0, cnt, 1.0)
+    row_w = 1.0 / jnp.maximum(
+        jnp.maximum(cnt[c.body0], cnt[c.body1]), 1.0)
+    p, sum_impulses = _impulse(c, u_rel, sum_impulses, stiffness,
+                               row_w=row_w)
 
     w0 = inv_mass[c.body0]
     w1 = inv_mass[c.body1]
@@ -148,7 +166,16 @@ def solve_particle_rigid_contacts(c: ParticleRigidContacts, px, pv,
     particle position so the penalty depth tracks the substep result."""
     r1 = c.cp1 - rx[c.body1]
     u_rel = pv[c.particle] - (rv[c.body1] + jnp.cross(rom[c.body1], r1))
-    p, sum_impulses = _impulse(c, u_rel, sum_impulses, stiffness)
+    np_ = pv.shape[0]
+    nb = rv.shape[0]
+    cnt_p = jnp.zeros((np_,), jnp.float32).at[c.particle].add(c.mask)
+    cnt_b = jnp.zeros((nb,), jnp.float32).at[c.body1].add(c.mask)
+    cnt_b = jnp.where(inv_mass > 0.0, cnt_b, 1.0)
+    cnt_p = jnp.where(p_inv_mass > 0.0, cnt_p, 1.0)
+    row_w = 1.0 / jnp.maximum(
+        jnp.maximum(cnt_p[c.particle], cnt_b[c.body1]), 1.0)
+    p, sum_impulses = _impulse(c, u_rel, sum_impulses, stiffness,
+                               row_w=row_w)
 
     w0 = p_inv_mass[c.particle]
     w1 = inv_mass[c.body1]

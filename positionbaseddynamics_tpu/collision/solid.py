@@ -71,6 +71,18 @@ class TetCollider:
     grid_inv_cell: Array = None  # (3,)
     restitution: Array = None
     friction: Array = None
+    # Morton tet blocks (Bt, bs): local tet indices, padded by repeating
+    # the last tet — the per-step bounding-sphere gate that shrinks the
+    # dense (P, T) inside-tet test to (P, k_tet·bs) candidates (the
+    # TetMeshBSH pruning of the reference, BoundingSphereHierarchy.h:41,
+    # in fixed-depth batched form). None disables gating (exact dense).
+    tet_blocks: Array = None
+    # Morton surface-face blocks (Bf, bs) + rest-space block spheres for
+    # the closest-surface-point query (static: the surface is rest-pose)
+    surf_blocks: Array = None
+    surf_block_c: Array = None   # (Bf, 3) centers
+    surf_block_r: Array = None   # (Bf,) radii (max corner distance)
+    k_surf_blocks: int = field(default=8, metadata=dict(static=True))
 
     @staticmethod
     def create(offset, count, tets_local, rest_positions, surface_faces,
@@ -112,6 +124,31 @@ class TetCollider:
             best[upd] = (s + am[upd]).astype(np.int32)
             best_err[upd] = e[upd]
 
+        # Morton tet blocks (by rest centroid — deformation preserves
+        # locality well enough for the *bounding sphere* gate, which is
+        # recomputed from current positions every step and exact)
+        from .bvh import morton_order
+
+        bs = 16
+        t_cent = rest[tets].mean(axis=1)
+        t_order = morton_order(t_cent)
+        n_tb = -(-len(tets) // bs)
+        t_pad = np.concatenate(
+            [t_order, np.repeat(t_order[-1:], n_tb * bs - len(t_order))])
+        tet_blocks = t_pad.reshape(n_tb, bs).astype(np.int32)
+
+        # static rest-space surface-face blocks + bounding spheres
+        f_cent = (rest[sf[:, 0]] + rest[sf[:, 1]] + rest[sf[:, 2]]) / 3.0
+        f_order = morton_order(f_cent)
+        n_fb = -(-len(sf) // bs)
+        f_pad = np.concatenate(
+            [f_order, np.repeat(f_order[-1:], n_fb * bs - len(f_order))])
+        surf_blocks = f_pad.reshape(n_fb, bs).astype(np.int32)
+        corners = np.stack([rest[sf[f_pad, 0]], rest[sf[f_pad, 1]],
+                            rest[sf[f_pad, 2]]], 1).reshape(n_fb, bs * 3, 3)
+        sb_c = corners.mean(axis=1)
+        sb_r = np.linalg.norm(corners - sb_c[:, None, :], axis=-1).max(1)
+
         return TetCollider(
             offset=int(offset), count=int(count),
             tets=jnp.asarray(tets + offset, jnp.int32),
@@ -121,6 +158,10 @@ class TetCollider:
             surf_a=jnp.asarray(rest[sf[:, 0]], jnp.float32),
             surf_b=jnp.asarray(rest[sf[:, 1]], jnp.float32),
             surf_c=jnp.asarray(rest[sf[:, 2]], jnp.float32),
+            tet_blocks=jnp.asarray(tet_blocks),
+            surf_blocks=jnp.asarray(surf_blocks),
+            surf_block_c=jnp.asarray(sb_c, jnp.float32),
+            surf_block_r=jnp.asarray(sb_r, jnp.float32),
             grid_tet=jnp.asarray(best.reshape(tuple(res))),
             grid_origin=jnp.asarray(lo, jnp.float32),
             grid_inv_cell=jnp.asarray((res - 1) / np.maximum(hi - lo, 1e-12),
@@ -128,6 +169,63 @@ class TetCollider:
             restitution=jnp.float32(restitution),
             friction=jnp.float32(friction),
         )
+
+    def closest_surface_point_gated(self, pts: Array, need=None,
+                                    refine_capacity=None):
+        """EXACT closest rest-surface point through the static
+        face-block gate, two phases:
+
+        1. per point, the ``k_surf_blocks`` blocks with the smallest
+           lower bound ``|p − c_b| − r_b`` supply candidate faces —
+           yielding an estimate ``d₁``;
+        2. every remaining (point, block) pair whose lower bound still
+           undercuts ``d₁`` (i.e. could hold a closer face) is
+           compacted to a fixed capacity and evaluated too.
+
+        The result equals the dense (P, F) scan except for refinement
+        pairs dropped by capacity — counted in the returned
+        ``dropped`` scalar (loud). ``need`` masks which points
+        participate in refinement (non-contacting points carry garbage
+        rest positions)."""
+        p = pts.shape[0]
+        if (self.surf_blocks is None
+                or self.surf_blocks.shape[0] <= self.k_surf_blocks
+                or pts.shape[0] * self.surf_a.shape[0]
+                < _SURF_GATE_MIN_PAIRS):
+            return self.closest_surface_point(pts), jnp.zeros(())
+        sb_c, sb_r = self.surf_block_c, self.surf_block_r
+        bf = sb_c.shape[0]
+        d_b = jnp.sqrt(jnp.maximum(sum(
+            (pts[:, None, i] - sb_c[None, :, i]) ** 2 for i in range(3)),
+            1e-30))                                     # (P, Bf)
+        lb = d_b - sb_r[None, :]
+        k = self.k_surf_blocks
+        _, topi = jax.lax.top_k(-lb, k)                 # (P, k)
+        cand = self.surf_blocks[topi].reshape(p, -1)
+        cp, d2min = _closest_on_faces_pairs(
+            pts, self.surf_a[cand], self.surf_b[cand], self.surf_c[cand])
+        d1 = jnp.sqrt(jnp.maximum(d2min, 0.0))
+
+        chosen = jnp.zeros((p, bf), bool).at[
+            jnp.arange(p)[:, None], topi].set(True)
+        rest = (lb < d1[:, None]) & ~chosen
+        if need is not None:
+            rest = rest & need[:, None]
+        from .batched import _compact
+        cap = int(refine_capacity if refine_capacity is not None
+                  else min(p * bf, max(1024, p)))
+        sel, act, dropped = _compact(rest.reshape(-1), cap, p * bf)
+        p_id = sel // bf
+        b_id = sel % bf
+        cand2 = self.surf_blocks[b_id]                  # (C, bs)
+        cp2, d22 = _closest_on_faces_pairs(
+            pts[p_id], self.surf_a[cand2], self.surf_b[cand2],
+            self.surf_c[cand2])
+        d22 = jnp.where(act, d22, jnp.inf)
+        d2_best = d2min.at[p_id].min(d22)
+        winners = d22 <= d2_best[p_id]
+        cp = cp.at[jnp.where(winners, p_id, p)].set(cp2, mode="drop")
+        return cp, dropped
 
     def closest_surface_point(self, pts: Array) -> Array:
         """Exact closest point on the rest surface for ``pts (P, 3)`` —
@@ -199,6 +297,54 @@ class TetCollider:
         return self.grid_tet[i[..., 0], i[..., 1], i[..., 2]]
 
 
+def _closest_on_faces_pairs(pts: Array, a: Array, b: Array, c: Array):
+    """Closest point on per-point candidate triangles: ``pts (P, 3)``,
+    corners ``(P, K, 3)`` → ``(cp (P, 3), d2min (P,))`` (Ericson
+    §5.1.5 region classification, pairwise-vectorized)."""
+    ap = pts[:, None, :] - a
+    bp = pts[:, None, :] - b
+    cp_ = pts[:, None, :] - c
+    ab = b - a
+    ac = c - a
+    d1 = jnp.einsum("pkj,pkj->pk", ab, ap)
+    d2 = jnp.einsum("pkj,pkj->pk", ac, ap)
+    d3 = jnp.einsum("pkj,pkj->pk", ab, bp)
+    d4 = jnp.einsum("pkj,pkj->pk", ac, bp)
+    d5 = jnp.einsum("pkj,pkj->pk", ab, cp_)
+    d6 = jnp.einsum("pkj,pkj->pk", ac, cp_)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, 1e-30)
+    v = vb / denom
+    w = vc / denom
+    closest = a + v[..., None] * ab + w[..., None] * ac
+    reg_a = (d1 <= 0) & (d2 <= 0)
+    reg_b = (d3 >= 0) & (d4 <= d3)
+    reg_c = (d6 >= 0) & (d5 <= d6)
+    t_ab = jnp.clip(d1 / jnp.where(d1 != d3, d1 - d3, 1e-30), 0.0, 1.0)
+    reg_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    t_ac = jnp.clip(d2 / jnp.where(d2 != d6, d2 - d6, 1e-30), 0.0, 1.0)
+    reg_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    dbc = d4 - d3
+    t_bc = jnp.clip(dbc / jnp.maximum(dbc + (d5 - d6), 1e-30), 0.0, 1.0)
+    reg_bc = (va <= 0) & (dbc >= 0) & (d5 - d6 >= 0)
+    closest = jnp.where(reg_bc[..., None], b + t_bc[..., None] * (c - b),
+                        closest)
+    closest = jnp.where(reg_ac[..., None], a + t_ac[..., None] * ac,
+                        closest)
+    closest = jnp.where(reg_ab[..., None], a + t_ab[..., None] * ab,
+                        closest)
+    closest = jnp.where(reg_c[..., None], c, closest)
+    closest = jnp.where(reg_b[..., None], b, closest)
+    closest = jnp.where(reg_a[..., None], a, closest)
+    diff = pts[:, None, :] - closest
+    d2all = jnp.einsum("pkj,pkj->pk", diff, diff)
+    best = jnp.argmin(d2all, axis=1)
+    cp = jnp.take_along_axis(closest, best[:, None, None], 1)[:, 0]
+    return cp, jnp.take_along_axis(d2all, best[:, None], 1)[:, 0]
+
+
 @_register
 @dataclass(frozen=True)
 class SolidContacts:
@@ -209,12 +355,17 @@ class SolidContacts:
     particle: Array    # (K,) point-side particle index
     tet_verts: Array   # (K, 4) tet-side particle indices (ref tet)
     bary: Array        # (K, 4) full barycentric weights of the contact
-    normal: Array      # (K, 3)
-    tangent: Array     # (K, 3)
-    nkn_inv: Array     # (K,)
-    p_max: Array       # (K,)
-    friction: Array    # (K,)
-    mask: Array        # (K,)
+    # bary-weighted tet contact point at DETECTION time — the reference
+    # freezes the tet-side positions (``ParticleTetContactConstraint``
+    # ``m_x``, ``Constraints.cpp:550`` capture) so the position solve's
+    # C = n·(x₀ − cp1) uses detection-time cp1 throughout the step
+    cp1_frozen: Array = None  # (K, 3)
+    normal: Array = None      # (K, 3)
+    tangent: Array = None     # (K, 3)
+    nkn_inv: Array = None     # (K,)
+    p_max: Array = None       # (K,)
+    friction: Array = None    # (K,)
+    mask: Array = None        # (K,)
     # per-particle active-contact counts (N,) — the Jacobi averaging
     # denominator, constant across the step's solve passes so computed
     # once at detection time
@@ -224,13 +375,66 @@ class SolidContacts:
     overflow: Array = None
 
 
+def _gated_containing_tet(tc: TetCollider, x, px, xt0, inv_a,
+                          capacity=None):
+    """Containing-tet search through the per-step tet-block sphere gate:
+    all (point, block) candidates whose CURRENT block bounding sphere
+    contains the point are compacted to a fixed capacity, and only
+    those blocks' tets get the barycentric inside test — O(P·Bt + C·bs)
+    instead of the dense O(P·T). The sphere test is exact (a point
+    inside a tet lies inside that block's vertex bounding sphere), so
+    the only approximation is the loud capacity drop. Returns
+    ``(tet_idx (P,), has (P,), dropped)``."""
+    from .batched import _compact
+
+    bs = tc.tet_blocks.shape[1]
+    bt = tc.tet_blocks.shape[0]
+    p = px.shape[0]
+    bverts = x[tc.tets[tc.tet_blocks]]          # (Bt, bs, 4, 3)
+    bc3 = bverts.mean(axis=(1, 2))
+    br2 = jnp.max(jnp.sum((bverts - bc3[:, None, None, :]) ** 2, -1),
+                  axis=(1, 2))
+    d2 = sum((px[:, None, c] - bc3[None, :, c]) ** 2
+             for c in range(3))                 # (P, Bt)
+    ok = d2 < br2[None, :]
+    cap = int(capacity if capacity is not None
+              else min(p * bt, max(2048, p)))
+    sel, act, dropped = _compact(ok.reshape(-1), cap, p * bt)
+    p_id = sel // bt
+    b_id = sel % bt
+    cand = tc.tet_blocks[b_id]                  # (C, bs) local tet ids
+    xt0c = xt0[cand]
+    inv_c = inv_a[cand]
+    rel = px[p_id][:, None, :] - xt0c
+    b3 = jnp.einsum("cbij,cbj->cbi", inv_c, rel)
+    inside = ((b3 >= 0.0).all(-1) & (b3.sum(-1) <= 1.0)
+              & act[:, None])                   # (C, bs)
+    # min containing tet id — the dense path's argmax(inside) tie-break
+    # (first containing tet), so gated == dense bit-for-bit
+    big = jnp.int32(2 ** 30)
+    row_best = jnp.min(jnp.where(inside, cand, big), axis=1)
+    tet_sel = jnp.full((p,), big, jnp.int32).at[p_id].min(row_best)
+    has = tet_sel < big
+    return jnp.where(has, tet_sel, 0), has, dropped
+
+
+# dense (P, T) / (P, F) planes beat the block-gated path on TPU until
+# the candidate product is large (measured: gating made the 1180×3717
+# armadillo pair 3.6× SLOWER — small dynamic gathers cost more than the
+# dense planes they saved); gate only where dense compute truly explodes
+_GATE_MIN_PAIRS = 32_000_000
+_SURF_GATE_MIN_PAIRS = 16_000_000
+
+
 def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
                           capacity: int = 1024) -> Optional[SolidContacts]:
     """Narrow phase for all (point-group, tet-collider) pairs.
 
-    Per point of the group: dense inside-tet test against every tet of
-    the target in the *current* configuration, rest-space SDF projection
-    to the surface, ref-tet lookup, contact-info init — the
+    Per point of the group: inside-tet test against the target in the
+    *current* configuration (tet-block sphere gate + compacted
+    candidates for large targets, dense for small ones), rest-space
+    projection to the surface (face-block gated closest point),
+    ref-tet lookup, contact-info init — the
     ``collisionDetectionSolidSolid`` pipeline."""
     from ..ops.mathutils import inv3
 
@@ -251,6 +455,7 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
         return tgt_cache[key]
 
     rows = []
+    gate_overflow = jnp.zeros((), jnp.float32)
     for (off, cnt, fric_pg), tc in pairs:
         px = x[off:off + cnt]
         pw = inv_mass[off:off + cnt]
@@ -258,25 +463,38 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
         idx = jnp.arange(off, off + cnt, dtype=jnp.int32)
 
         xt0, inv_a = _target(tc)
-        # barycentric of every point in every tet, as (P, T) component
-        # planes (trailing-3 einsums on (P, T, 3) operands run far off
-        # peak on TPU — the r03 scalar-form lesson)
-        rel = [px[:, None, c] - xt0[None, :, c] for c in range(3)]
-        b3 = [sum(inv_a[None, :, i, c] * rel[c] for c in range(3))
-              for i in range(3)]                          # 3 × (P, T)
-        inside = ((b3[0] >= 0.0) & (b3[1] >= 0.0) & (b3[2] >= 0.0)
-                  & (b3[0] + b3[1] + b3[2] <= 1.0))       # (P, T)
-        has = inside.any(-1)
-        tet_idx = jnp.argmax(inside, axis=-1)             # (P,)
-        bary = jnp.stack(
-            [jnp.take_along_axis(b, tet_idx[:, None], axis=1)[:, 0]
-             for b in b3], axis=-1)                       # (P, 3)
+        if (tc.tet_blocks is not None
+                and cnt * tc.tets.shape[0] > _GATE_MIN_PAIRS):
+            # block-gated candidate search (O(P·Bt) gate + compacted
+            # barycentric) — the dense (P, T) test at armadillo scale
+            # was the contact-MPC hot spot
+            tet_idx, has, dropped = _gated_containing_tet(
+                tc, x, px, xt0, inv_a)
+            gate_overflow = gate_overflow + dropped
+            relp = px - xt0[tet_idx]
+            bary = jnp.einsum("pij,pj->pi", inv_a[tet_idx], relp)
+        else:
+            # barycentric of every point in every tet, as (P, T)
+            # component planes (trailing-3 einsums on (P, T, 3)
+            # operands run far off peak on TPU — the r03 lesson)
+            rel = [px[:, None, c] - xt0[None, :, c] for c in range(3)]
+            b3 = [sum(inv_a[None, :, i, c] * rel[c] for c in range(3))
+                  for i in range(3)]                      # 3 × (P, T)
+            inside = ((b3[0] >= 0.0) & (b3[1] >= 0.0) & (b3[2] >= 0.0)
+                      & (b3[0] + b3[1] + b3[2] <= 1.0))   # (P, T)
+            has = inside.any(-1)
+            tet_idx = jnp.argmax(inside, axis=-1)         # (P,)
+            bary = jnp.stack(
+                [jnp.take_along_axis(b, tet_idx[:, None], axis=1)[:, 0]
+                 for b in b3], axis=-1)                   # (P, 3)
 
         # rest-space position of the point (cpp:409-420), projected to
-        # the exact rest surface
+        # the exact rest surface (face-block gated; uncertain closest
+        # points — possible non-optimal block choice — count loudly)
         rx = (tc.rest_x0[tet_idx]
               + jnp.einsum("pij,pj->pi", tc.rest_a[tet_idx], bary))
-        cp0 = tc.closest_surface_point(rx)
+        cp0, cp_dropped = tc.closest_surface_point_gated(rx, need=has)
+        gate_overflow = gate_overflow + cp_dropped
 
         # ref tet containing the surface point + its barycentric coords
         ref_tet = tc.lookup_tet(cp0)
@@ -308,6 +526,7 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
         p_max = nkn_inv * jnp.sum(u_rel * t, -1)
         rows.append(SolidContacts(
             particle=idx, tet_verts=ref_verts, bary=b_full,
+            cp1_frozen=cp_w,
             normal=n_w, tangent=t, nkn_inv=nkn_inv, p_max=p_max,
             friction=jnp.broadcast_to(fric_pg + tc.friction, (cnt,)),
             mask=(mask & (jmj > 1e-12)).astype(jnp.float32)))
@@ -320,11 +539,16 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
     k = c.mask.shape[0]
     n_active = jnp.sum(c.mask)
     if capacity is not None and capacity < k:
-        order = jnp.argsort(1.0 - c.mask, stable=True)[:capacity]
-        c = jax.tree.map(lambda a: a[order], c)
+        from .batched import _compact
+        sel, act, _ = _compact(c.mask > 0.5, capacity, k)
+        c = jax.tree.map(lambda a: a[sel], c)
+        # dummy slots replicate an arbitrary row — zero their mask
+        c = dataclasses.replace(
+            c, mask=c.mask * act.astype(jnp.float32))
         overflow = jnp.maximum(n_active - capacity, 0.0)
     else:
         overflow = jnp.zeros(())
+    overflow = overflow + gate_overflow
     ones = jnp.broadcast_to(
         c.mask[:, None, None],
         c.tet_verts.shape[:1] + (5, 1))
@@ -336,15 +560,17 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
 
 
 def solve_solid_contacts_position(c: SolidContacts, x: Array,
-                                  inv_mass: Array) -> Array:
+                                  inv_mass: Array):
     """One batched pass of ``solve_ParticleTetContactConstraint``
-    (``PositionBasedDynamics.cpp:1219-1272``). Returns the summed
-    position corrections (N, 3) (Jacobi application of the reference's
-    sequential per-contact sweep, ``TimeStepController.cpp:288-291``)."""
+    (``PositionBasedDynamics.cpp:1219-1272``): C = n·(x₀ − cp1) with the
+    DETECTION-TIME cp1 (the reference's frozen ``m_x`` capture).
+    Returns ``(corrections (N, 3), λ (K,))`` — λ feeds the friction
+    pass exactly as the reference's persisted ``m_lambda``. Jacobi
+    application of the reference's sequential per-contact sweep
+    (``TimeStepController.cpp:288-291``)."""
     from ..solver.constraints import scatter_add
 
-    cp1 = jnp.einsum("pk,pki->pi", c.bary, x[c.tet_verts])
-    cval = jnp.sum(c.normal * (x[c.particle] - cp1), -1)
+    cval = jnp.sum(c.normal * (x[c.particle] - c.cp1_frozen), -1)
     lam = -c.nkn_inv * cval * c.mask
     p = lam[:, None] * c.normal
     w0 = inv_mass[c.particle]
@@ -357,20 +583,21 @@ def solve_solid_contacts_position(c: SolidContacts, x: Array,
     # averaged by the number of ACTIVE contacts touching each particle
     # (precomputed at detection) — the Jacobi stabilization for the
     # reference's sequential sweep
-    return scatter_add(x.shape[0], idx, corr) * c.inv_cnt[:, None]
+    return scatter_add(x.shape[0], idx, corr) * c.inv_cnt[:, None], lam
 
 
 def solve_solid_contacts_velocity(c: SolidContacts, x: Array, v: Array,
-                                  inv_mass: Array) -> Array:
+                                  inv_mass: Array, lam=None) -> Array:
     """Friction pass (``velocitySolve_ParticleTetContactConstraint``,
-    ``PositionBasedDynamics.cpp:1274-1340``); λ is recomputed from the
-    final positions (the reference reuses the last position-solve λ of
-    the same state). Returns velocity corrections (N, 3)."""
+    ``PositionBasedDynamics.cpp:1274-1340``); ``lam`` is the LAST
+    position-solve λ (the reference's persisted ``m_lambda``) — when
+    None it is recomputed from the final positions against the frozen
+    cp1. Returns velocity corrections (N, 3)."""
     from ..solver.constraints import scatter_add
 
-    cp1 = jnp.einsum("pk,pki->pi", c.bary, x[c.tet_verts])
-    cval = jnp.sum(c.normal * (x[c.particle] - cp1), -1)
-    lam = -c.nkn_inv * cval
+    if lam is None:
+        cval = jnp.sum(c.normal * (x[c.particle] - c.cp1_frozen), -1)
+        lam = -c.nkn_inv * cval
     fl = c.friction * lam
     pv = jnp.where(fl > c.p_max, -c.p_max,
                    jnp.where(fl < -c.p_max, c.p_max, -fl)

@@ -266,11 +266,25 @@ def _pbf_iteration(x_all, idx, valid, is_fluid_j, w_j, scene: FluidScene):
     return corr, density
 
 
-def _fluid_step_cells(state: FluidState, scene: FluidScene) -> FluidState:
+def _fluid_step_cells(state: FluidState, scene: FluidScene,
+                      use_pallas=None) -> FluidState:
     """Cell-dense PBF step (``fluids/cellgrid.py``): sort into per-cell
     tables once, run the density iterations and XSPH entirely in dense
-    cell layout. Same per-step semantics as :func:`fluid_step`."""
+    cell layout. Same per-step semantics as :func:`fluid_step`.
+
+    ``use_pallas=True`` routes the density/λ/correction/XSPH passes
+    through the fused Pallas kernels (``fluids/cellgrid_pallas.py``,
+    interpret-mode parity-tested). EXPERIMENTAL and currently OFF by
+    default: at the 100k dam the kernels measure 3.2 steps/s vs the XLA
+    path's 4.4 — the dense (cap, 27·cap) pair layout is compute-bound
+    at ~5% live-pair occupancy either way, and the per-iteration
+    neighbor-row gathers (~140 ns/row in XLA's lowering) dominate both;
+    VMEM fusion alone does not pay until the dead-pair work shrinks
+    (occupancy-partitioned kernels — future work, docs/PERF.md r05)."""
     from .cellgrid import (build_fluid_tables, pbf_iterations, xsph_cell)
+
+    if use_pallas is None:
+        use_pallas = False
 
     spec = scene.cellgrid
     g = jnp.asarray(scene.gravity, jnp.float32)
@@ -283,25 +297,54 @@ def _fluid_step_cells(state: FluidState, scene: FluidScene) -> FluidState:
 
     (slot, kept, xt, mt, active, nbr, nbr_ok,
      overflow) = build_fluid_tables(spec, x, scene.mass)
-    xt, density, pair_ok = pbf_iterations(
-        spec, xt, mt, active, nbr, nbr_ok, scene.iterations,
-        scene.density0, scene.support_radius)
-    x_new = jnp.where(
-        kept[:, None],
-        jnp.stack([p.reshape(-1)[slot] for p in xt], -1), x)
-    v = (x_new - old_x) / h
 
     nslots = spec.n_cells * spec.cap
-    vslot = jnp.where(kept, slot, nslots)
-    vt = tuple(
-        jnp.zeros((nslots,), jnp.float32).at[vslot].set(
-            v[:, c], mode="drop").reshape(spec.n_cells, spec.cap)
-        for c in range(3))
-    vt = xsph_cell(spec, xt, vt, mt, active, nbr, nbr_ok, density,
-                   scene.viscosity, scene.support_radius, pair_ok)
-    v = jnp.where(
-        kept[:, None],
-        jnp.stack([p.reshape(-1)[slot] for p in vt], -1), v)
+    if use_pallas:
+        from .cellgrid_pallas import pbf_step_pallas
+
+        # XSPH smooths the velocity v = (x_new − old_x)/h; build the
+        # velocity tables from the PRE-projection velocity estimate the
+        # same way the XLA branch does after the fact — here we need
+        # them up front, so run projections first without XSPH, then
+        # reuse the same kernel machinery for XSPH below
+        xt, density, _ = pbf_step_pallas(
+            spec, xt, mt, active, nbr, nbr_ok, scene.iterations,
+            scene.density0, scene.support_radius)
+        x_new = jnp.where(
+            kept[:, None],
+            jnp.stack([p.reshape(-1)[slot] for p in xt], -1), x)
+        v = (x_new - old_x) / h
+        vslot = jnp.where(kept, slot, nslots)
+        vt = tuple(
+            jnp.zeros((nslots,), jnp.float32).at[vslot].set(
+                v[:, c], mode="drop").reshape(spec.n_cells, spec.cap)
+            for c in range(3))
+        _, _, vt = pbf_step_pallas(
+            spec, xt, mt, active, nbr, nbr_ok, 0,
+            scene.density0, scene.support_radius, vt=vt,
+            viscosity=scene.viscosity, density=density)
+        v = jnp.where(
+            kept[:, None],
+            jnp.stack([p.reshape(-1)[slot] for p in vt], -1), v)
+    else:
+        xt, density, pair_ok = pbf_iterations(
+            spec, xt, mt, active, nbr, nbr_ok, scene.iterations,
+            scene.density0, scene.support_radius)
+        x_new = jnp.where(
+            kept[:, None],
+            jnp.stack([p.reshape(-1)[slot] for p in xt], -1), x)
+        v = (x_new - old_x) / h
+
+        vslot = jnp.where(kept, slot, nslots)
+        vt = tuple(
+            jnp.zeros((nslots,), jnp.float32).at[vslot].set(
+                v[:, c], mode="drop").reshape(spec.n_cells, spec.cap)
+            for c in range(3))
+        vt = xsph_cell(spec, xt, vt, mt, active, nbr, nbr_ok, density,
+                       scene.viscosity, scene.support_radius, pair_ok)
+        v = jnp.where(
+            kept[:, None],
+            jnp.stack([p.reshape(-1)[slot] for p in vt], -1), v)
 
     ov = jnp.maximum(state.overflow
                      if state.overflow is not None else 0.0,

@@ -231,6 +231,65 @@ def _svd_inversion_handling_jacobi(a: Array):
     return u, sig, v.T
 
 
+def polar_decomposition_stable(m: Array, tolerance: float = 1e-6,
+                               max_iter: int = 36) -> Array:
+    """Rotation factor ``R`` of the polar decomposition via the
+    reference's scaled-Newton iteration — an EXACT port of
+    ``MathFunctions::polarDecompositionStable``
+    (``MathFunctions.cpp:180-260``) including its do-while stopping
+    criterion ``E₁ ≤ tol·‖Mt‖₁``, run as a fixed-shape masked scan so
+    each vmapped instance freezes at ITS OWN convergence point (a plain
+    ``while_loop`` under vmap would keep iterating converged lanes and
+    break bit-parity with the sequential reference). The degenerate
+    ``|det| < 1e-12`` row-swap branch falls back to identity."""
+
+    def one_norm(a):
+        return jnp.max(jnp.sum(jnp.abs(a), axis=0))
+
+    def inf_norm(a):
+        return jnp.max(jnp.sum(jnp.abs(a), axis=1))
+
+    def adjt(mt):
+        return jnp.stack([jnp.cross(mt[1], mt[2]),
+                          jnp.cross(mt[2], mt[0]),
+                          jnp.cross(mt[0], mt[1])])
+
+    def step(carry, _):
+        mt, mone, minf, done = carry
+        madjtt = adjt(mt)
+        det = (mt[0, 0] * madjtt[0, 0] + mt[0, 1] * madjtt[0, 1]
+               + mt[0, 2] * madjtt[0, 2])
+        degenerate = jnp.abs(det) < 1e-12
+        madjtone = one_norm(madjtt)
+        madjtinf = inf_norm(madjtt)
+        gamma = jnp.sqrt(
+            jnp.sqrt((madjtone * madjtinf)
+                     / jnp.maximum(mone * minf, 1e-30))
+            / jnp.maximum(jnp.abs(det), 1e-30))
+        g1 = gamma * 0.5
+        g2 = 0.5 / (gamma * jnp.where(degenerate, 1.0, det))
+        new_mt = g1 * mt + g2 * madjtt
+        eone = one_norm(mt - new_mt)
+        new_mone = one_norm(new_mt)
+        new_minf = inf_norm(new_mt)
+        converged = (eone <= new_mone * tolerance) | degenerate
+        keep = done
+        mt = jnp.where(keep, mt, new_mt)
+        mone = jnp.where(keep, mone, new_mone)
+        minf = jnp.where(keep, minf, new_minf)
+        return (mt, mone, minf, done | converged), None
+
+    mt0 = m.T
+    (mt, _, _, _), _ = jax.lax.scan(
+        step, (mt0, one_norm(m), inf_norm(m), jnp.asarray(False)),
+        None, length=max_iter)
+    # degenerate input (all cross products vanish): identity, as the
+    # reference's unrecoverable branch
+    bad = jnp.max(jnp.abs(adjt(mt0))) < 1e-12
+    r = mt.T
+    return jnp.where(bad, jnp.eye(3, dtype=m.dtype), r)
+
+
 def polar_decomposition(a: Array):
     """Stable polar decomposition ``A = R S`` with ``R ∈ SO(3)`` via signed
     SVD (behavioral equivalent of ``MathFunctions::polarDecompositionStable``).

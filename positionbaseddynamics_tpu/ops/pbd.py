@@ -277,7 +277,7 @@ def solve_shape_matching_cluster(x, x0, w, rest_cm, stiffness, mask):
     pinned particles act as very heavy anchors), goal ``g = cm + R(x0−cm0)``,
     correction ``(g − x)·k``. ``mask (K,)`` deactivates padded cluster
     slots. Returns ``corr (K,3)``."""
-    from .mathutils import polar_decomposition
+    from .mathutils import polar_decomposition_stable
 
     m = mask / (w + EPS)
     m_total = jnp.sum(m)
@@ -286,7 +286,10 @@ def solve_shape_matching_cluster(x, x0, w, rest_cm, stiffness, mask):
     p = x - cm
     q0c = x0 - rest_cm
     a_pq = jnp.einsum("k,ki,kj->ij", m, p, q0c)
-    r, _ = polar_decomposition(a_pq)
+    # the reference's own scaled-Newton polar iteration with its exact
+    # stopping criterion — an SVD-based R differs at ~tolerance scale
+    # per call, which compounds past 1e-4 over a 50-step trajectory
+    r = polar_decomposition_stable(a_pq)
     goal = cm[None, :] + q0c @ r.T
     return mask[:, None] * stiffness * (goal - x)
 

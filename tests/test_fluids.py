@@ -143,3 +143,57 @@ def test_cellgrid_path_matches_hash_path():
     assert dev < 5e-4, f"cell-dense vs hash path deviation {dev:.2e}"
     # the dam actually collapsed (fluid spread sideways)
     assert xc[:, 0].max() > np.asarray(fluid)[:, 0].max() + diam
+
+
+def test_cellgrid_pallas_matches_jnp():
+    """Fused Pallas PBF kernels (fluids/cellgrid_pallas.py) reproduce
+    the XLA cell-dense path bit-near (same pair sets, same math) in
+    interpret mode."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from positionbaseddynamics_tpu.fluids import cellgrid as cg
+    from positionbaseddynamics_tpu.fluids.cellgrid_pallas import (
+        pbf_step_pallas)
+    from positionbaseddynamics_tpu.fluids.model import (
+        FluidScene, block_positions, box_boundary)
+
+    radius = 0.025
+    diam = 2 * radius
+    fluid = block_positions((diam, diam, diam), (8, 8, 6), diam)
+    lo = (0.0, 0.0, 0.0)
+    hi = (10 * diam * 3, 10 * diam * 2, 8 * diam)
+    bnd = box_boundary(lo, hi, diam)
+    scene = FluidScene.create(len(fluid), bnd, particle_radius=radius,
+                              domain=(lo, hi))
+    spec = scene.cellgrid
+    x = jnp.asarray(fluid) + jnp.asarray([[0.001, 0.002, 0.0015]])
+    v = jnp.zeros_like(x)
+    x2 = x + 0.005 * (v + 0.005 * jnp.asarray([0.0, -9.81, 0.0]))
+    (slot, kept, xt, mt, active, nbr, nbr_ok,
+     ov) = cg.build_fluid_tables(spec, x2, scene.mass)
+    assert float(ov) == 0.0
+
+    xt_j, dens_j, pair_ok = cg.pbf_iterations(
+        spec, xt, mt, active, nbr, nbr_ok, 5, scene.density0,
+        scene.support_radius)
+    nslots = spec.n_cells * spec.cap
+    vt = tuple(
+        jnp.zeros((nslots,), jnp.float32).at[
+            jnp.where(kept, slot, nslots)].set(
+            v[:, c], mode="drop").reshape(spec.n_cells, spec.cap)
+        for c in range(3))
+    vt_j = cg.xsph_cell(spec, xt_j, vt, mt, active, nbr, nbr_ok, dens_j,
+                        scene.viscosity, scene.support_radius, pair_ok)
+
+    xt_p, dens_p, _ = pbf_step_pallas(
+        spec, xt, mt, active, nbr, nbr_ok, 5, scene.density0,
+        scene.support_radius, interpret=True)
+    _, _, vt_p = pbf_step_pallas(
+        spec, xt_p, mt, active, nbr, nbr_ok, 0, scene.density0,
+        scene.support_radius, vt=vt, viscosity=scene.viscosity,
+        density=dens_p, interpret=True)
+    for c in range(3):
+        assert float(jnp.abs(xt_p[c] - xt_j[c]).max()) < 1e-6
+        assert float(jnp.abs(vt_p[c] - vt_j[c]).max()) < 1e-6
+    assert float(jnp.abs(dens_p - dens_j).max()) < 1e-2

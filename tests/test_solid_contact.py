@@ -115,3 +115,84 @@ def test_solid_contact_overflow_counter_zero_on_armadillo():
     c = s.pipeline.detect_solids(p.x, p.v, p.inv_mass)
     assert float(c.overflow) == 0.0
     assert float(jnp.sum(c.mask)) >= 0.0
+
+
+def test_gated_containing_tet_matches_dense():
+    """The tet-block sphere gate + face-block closest-point gate must
+    reproduce the dense path's contacts (same containing tets found,
+    same contact geometry) on a target large enough to engage gating."""
+    import dataclasses as dc
+
+    import jax
+    import numpy as np
+
+    from positionbaseddynamics_tpu.models import SceneBuilder
+
+    b = SceneBuilder(use_structured_grid=False)
+    # large static target bar (>256 tets engages the gate)
+    tgt = b.add_regular_tet_model(14, 8, 8, translation=(0.0, 0.0, 0.0),
+                                  scale=(1.4, 0.8, 0.8))
+    b.add_solid_constraints(tgt, method=6, stiffness=1e5)
+    b.set_tet_collider(tgt)
+    b.set_particle_collider(tgt)
+    # small penetrating bar above
+    top = b.add_regular_tet_model(4, 3, 3, translation=(0.3, 0.7, 0.2),
+                                  scale=(0.4, 0.3, 0.3))
+    b.add_solid_constraints(top, method=6, stiffness=1e5)
+    b.set_tet_collider(top)
+    b.set_particle_collider(top)
+    state, cset = b.build()
+    pipe = b.build_collision_pipeline()
+    assert any(tc.tets.shape[0] > 256 for _, tc in pipe.solid_pairs)
+    # production thresholds keep armadillo-scale pairs dense (measured
+    # faster on TPU); force gating here to prove its correctness
+    import positionbaseddynamics_tpu.collision.solid as solid_mod
+    monkey_prev = (solid_mod._GATE_MIN_PAIRS,
+                   solid_mod._SURF_GATE_MIN_PAIRS)
+    solid_mod._GATE_MIN_PAIRS = 0
+    solid_mod._SURF_GATE_MIN_PAIRS = 0
+
+    p = state.particles
+    # push the top bar down into the target so contacts exist; the
+    # jitter breaks grid-aligned ties (equidistant projections are
+    # legitimately ambiguous between the paths)
+    rng = np.random.default_rng(7)
+    x = np.asarray(p.x).copy()
+    sl = slice(top.offset, top.offset + top.mesh.n_vertices)
+    x[sl, 1] -= 0.353
+    x[sl] += rng.uniform(-0.004, 0.004, x[sl].shape)
+    x = jnp.asarray(x)
+
+    c_gated = pipe.detect_solids(x, p.v, p.inv_mass)
+    # force the dense path by dropping the blocks
+    dense_pairs = tuple(
+        (pg, dc.replace(tc, tet_blocks=None, surf_blocks=None))
+        for pg, tc in pipe.solid_pairs)
+    from positionbaseddynamics_tpu.collision.solid import (
+        detect_solid_contacts)
+    c_dense = detect_solid_contacts(dense_pairs, x, p.v, p.inv_mass)
+
+    assert float(c_gated.overflow) == 0.0
+    m_g = np.asarray(c_gated.mask) > 0.5
+    m_d = np.asarray(c_dense.mask) > 0.5
+    assert m_g.sum() == m_d.sum() and m_g.sum() > 0
+
+    def rows(c, m):
+        # physical contact geometry: particle, normal, world contact
+        # point (bary-weighted ref-tet verts). Equidistant-face ties can
+        # pick different ref tets between the paths; the contact point
+        # and response are identical.
+        xn = np.asarray(x)
+        cp1 = np.einsum("pk,pki->pi",
+                        np.asarray(c.bary), xn[np.asarray(c.tet_verts)])
+        r = np.concatenate([
+            np.asarray(c.particle)[m, None],
+            np.round(np.asarray(c.normal)[m], 4),
+            np.round(cp1[m], 4),
+        ], axis=1)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(rows(c_gated, m_g), rows(c_dense, m_d),
+                               atol=2e-3)
+    (solid_mod._GATE_MIN_PAIRS,
+     solid_mod._SURF_GATE_MIN_PAIRS) = monkey_prev
