@@ -690,7 +690,16 @@ def main():
         import copy
         import signal
 
-        def _safe(name, fn, budget_s=600, **over):
+        sec_deadline = time.perf_counter() + 700.0   # global budget
+
+        def _safe(name, fn, budget_s=420, **over):
+            left = sec_deadline - time.perf_counter()
+            if left < 30.0:
+                print(json.dumps({"metric": name,
+                                  "error": "skipped: secondary budget "
+                                           "exhausted"}), flush=True)
+                return
+            budget_s = int(min(budget_s, left))
             a2 = copy.copy(args)
             for k, v in over.items():
                 setattr(a2, k, v)
@@ -704,7 +713,8 @@ def main():
                 fn(a2)
             except Exception as e:       # noqa: BLE001 — reported loud
                 print(json.dumps({"metric": name,
-                                  "error": f"{type(e).__name__}: {e}"}))
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      flush=True)
             finally:
                 signal.alarm(0)
                 signal.signal(signal.SIGALRM, old)

@@ -488,6 +488,24 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
                 [jnp.take_along_axis(b, tet_idx[:, None], axis=1)[:, 0]
                  for b in b3], axis=-1)                   # (P, 3)
 
+        # EARLY COMPACTION: only the (few) inside points proceed —
+        # the closest-surface-point scan, ref-tet lookup and contact
+        # init then run on ``cap_pts`` rows instead of all P (the
+        # (P, F) surface pass was half of detect_solids at armadillo
+        # scale); dropped inside-points count loudly
+        cap_pts = int(min(cnt, max(192, capacity // max(len(pairs), 1))))
+        from .batched import _compact
+        sel, act, dropped_pts = _compact(has, cap_pts, cnt)
+        gate_overflow = gate_overflow + dropped_pts
+        px = px[sel]
+        pw = pw[sel]
+        pvel = pvel[sel]
+        idx = idx[sel]
+        tet_idx = tet_idx[sel]
+        bary = bary[sel]
+        has = has[sel] & act
+        cnt = cap_pts
+
         # rest-space position of the point (cpp:409-420), projected to
         # the exact rest surface (face-block gated; uncertain closest
         # points — possible non-optimal block choice — count loudly)
