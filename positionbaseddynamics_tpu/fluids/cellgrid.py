@@ -61,6 +61,10 @@ class BoundaryTables:
     xt: tuple      # 3 × (n_cells, capb) component planes
     psit: Array    # (n_cells, capb) ψ weights, 0 on empty slots
     capb: int = field(metadata=dict(static=True))
+    # (n_cells,) bool — cell has a boundary particle in its
+    # 27-neighborhood (static: boundary never moves). Lets the column
+    # path (colgrid.py) restrict the ψ pair lanes to adjacent cells.
+    near: Array = None
 
 
 @_register
@@ -121,11 +125,23 @@ class CellGridSpec:
             pt = np.zeros((n_cells * capb,), np.float32)
             xt[slot] = bx[order]
             pt[slot] = np.asarray(boundary_psi, np.float32)[order]
+            # static boundary-adjacency (27-cell dilation of occupancy)
+            occ = (pt.reshape(n_cells, capb) > 0).any(-1).reshape(dims)
+            near = np.zeros(dims, bool)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        sl = lambda d, n: slice(max(d, 0), n + min(d, 0))
+                        dst = tuple(sl(-d, n)
+                                    for d, n in zip((dx, dy, dz), dims))
+                        src = tuple(sl(d, n)
+                                    for d, n in zip((dx, dy, dz), dims))
+                        near[dst] |= occ[src]
             spec = dataclasses.replace(spec, boundary=BoundaryTables(
                 xt=tuple(jnp.asarray(xt[:, c].reshape(n_cells, capb))
                          for c in range(3)),
                 psit=jnp.asarray(pt.reshape(n_cells, capb)),
-                capb=capb))
+                capb=capb, near=jnp.asarray(near.reshape(-1))))
         return spec
 
 

@@ -266,8 +266,15 @@ def _pbf_iteration(x_all, idx, valid, is_fluid_j, w_j, scene: FluidScene):
     return corr, density
 
 
+def use_classes(spec) -> bool:
+    """The occupancy-partitioned path (``classgrid.py``) pays whenever
+    the table cap meaningfully exceeds the narrow class width — i.e.
+    the cap was sized for impact compression, not rest occupancy."""
+    return spec is not None and spec.cap > 20
+
+
 def _fluid_step_cells(state: FluidState, scene: FluidScene,
-                      use_pallas=None) -> FluidState:
+                      use_pallas=None, partition=None) -> FluidState:
     """Cell-dense PBF step (``fluids/cellgrid.py``): sort into per-cell
     tables once, run the density iterations and XSPH entirely in dense
     cell layout. Same per-step semantics as :func:`fluid_step`.
@@ -323,6 +330,29 @@ def _fluid_step_cells(state: FluidState, scene: FluidScene,
             spec, xt, mt, active, nbr, nbr_ok, 0,
             scene.density0, scene.support_radius, vt=vt,
             viscosity=scene.viscosity, density=density)
+        v = jnp.where(
+            kept[:, None],
+            jnp.stack([p.reshape(-1)[slot] for p in vt], -1), v)
+    elif partition if partition is not None else use_classes(spec):
+        from .classgrid import (partition_active, pbf_iterations_classes,
+                                xsph_classes)
+
+        narrow, full, bnd, over_c = partition_active(spec, mt)
+        overflow = overflow + over_c
+        xt, density, ctxs = pbf_iterations_classes(
+            spec, xt, mt, narrow, full, bnd, scene.iterations,
+            scene.density0, scene.support_radius)
+        x_new = jnp.where(
+            kept[:, None],
+            jnp.stack([p.reshape(-1)[slot] for p in xt], -1), x)
+        v = (x_new - old_x) / h
+        vslot = jnp.where(kept, slot, nslots)
+        vt = tuple(
+            jnp.zeros((nslots,), jnp.float32).at[vslot].set(
+                v[:, c], mode="drop").reshape(spec.n_cells, spec.cap)
+            for c in range(3))
+        vt = xsph_classes(spec, xt, vt, mt, ctxs, density,
+                          scene.viscosity, scene.support_radius)
         v = jnp.where(
             kept[:, None],
             jnp.stack([p.reshape(-1)[slot] for p in vt], -1), v)

@@ -145,6 +145,40 @@ def test_cellgrid_path_matches_hash_path():
     assert xc[:, 0].max() > np.asarray(fluid)[:, 0].max() + diam
 
 
+def test_classgrid_matches_cellgrid():
+    """The occupancy-partitioned path (fluids/classgrid.py) must match
+    the unpartitioned cell path to f32 reassociation tolerance, with
+    zero capacity overflow, on a dam whose compression exercises both
+    the narrow and the full class."""
+    import jax
+    import jax.numpy as jnp
+
+    from positionbaseddynamics_tpu.fluids.model import (
+        FluidScene, FluidState, block_positions, box_boundary,
+        _fluid_step_cells, use_classes)
+
+    radius = 0.025
+    diam = 2 * radius
+    fluid = block_positions((diam, diam, diam), (12, 10, 8), diam)
+    lo = (0.0, 0.0, 0.0)
+    hi = (1.4, 1.1, 0.5)
+    bnd = box_boundary(lo, hi, diam)
+    scene = FluidScene.create(len(fluid), bnd, particle_radius=radius,
+                              domain=(lo, hi))
+    assert use_classes(scene.cellgrid)
+    sa = FluidState.create(fluid)
+    sb = FluidState.create(fluid)
+    fa = jax.jit(lambda s: _fluid_step_cells(s, scene, partition=False))
+    fb = jax.jit(lambda s: _fluid_step_cells(s, scene, partition=True))
+    for _ in range(15):
+        sa = fa(sa)
+        sb = fb(sb)
+    dev = float(jnp.max(jnp.abs(sa.x - sb.x)))
+    assert dev < 1e-4, f"classgrid vs cellgrid deviation {dev:.2e}"
+    assert float(sb.overflow) == 0.0
+    assert np.isfinite(np.asarray(sb.x)).all()
+
+
 def test_cellgrid_pallas_matches_jnp():
     """Fused Pallas PBF kernels (fluids/cellgrid_pallas.py) reproduce
     the XLA cell-dense path bit-near (same pair sets, same math) in
