@@ -62,9 +62,13 @@ class BoundaryTables:
     psit: Array    # (n_cells, capb) ψ weights, 0 on empty slots
     capb: int = field(metadata=dict(static=True))
     # (n_cells,) bool — cell has a boundary particle in its
-    # 27-neighborhood (static: boundary never moves). Lets the column
-    # path (colgrid.py) restrict the ψ pair lanes to adjacent cells.
+    # 27-neighborhood (static: boundary never moves). Lets the
+    # partitioned path (classgrid.py) restrict ψ pair lanes to
+    # adjacent cells. near_frac is its static density, used to size
+    # the boundary-adjacent list capacities (a thin/small domain can
+    # have nearly ALL cells boundary-adjacent).
     near: Array = None
+    near_frac: float = field(default=1.0, metadata=dict(static=True))
 
 
 @_register
@@ -141,7 +145,8 @@ class CellGridSpec:
                 xt=tuple(jnp.asarray(xt[:, c].reshape(n_cells, capb))
                          for c in range(3)),
                 psit=jnp.asarray(pt.reshape(n_cells, capb)),
-                capb=capb, near=jnp.asarray(near.reshape(-1))))
+                capb=capb, near=jnp.asarray(near.reshape(-1)),
+                near_frac=float(near.mean())))
         return spec
 
 
