@@ -501,7 +501,18 @@ def bench_bar(args):
     assert cset.grid_tets, "structured tet path not engaged"
     cfg = StepConfig(max_iterations=args.max_iterations)
 
-    if args.pallas is not False:
+    use_pallas_tet = (args.pallas is True
+                      or (args.pallas is None
+                          and args.max_iterations == 1))
+    if args.pallas is None and args.max_iterations > 1:
+        # the fused kernel's multi-iteration lambda-plane path FAILS the
+        # on-device check at maxIterations=5 (0.15 max|dx| over 10
+        # steps, r05) — route iteration budgets >1 to the XLA grid path
+        # until the divergence is root-caused; --pallas forces it back
+        print(json.dumps({"note": "max_iterations>1: using XLA grid "
+                          "path (Pallas lambda-plane check fails; "
+                          "docs/PERF.md r05)"}), flush=True)
+    if use_pallas_tet:
         # fused Pallas tet kernel (solver/grid_tet_pallas.py);
         # --no-pallas forces the XLA grid path
         from positionbaseddynamics_tpu.solver.grid_tet_pallas import (
