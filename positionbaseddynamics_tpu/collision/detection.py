@@ -527,4 +527,20 @@ class CollisionPipeline:
                     rows.append(narrow())
         if not rows:
             return None
-        return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *rows)
+        c = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *rows)
+        # active-first compaction (stable, so gauss_seidel sweep order
+        # over ACTIVE rows is unchanged): the contact solve runs
+        # ``max_iterations_v`` passes over this buffer, and actual
+        # contacts are sparse in the candidate rows; dropped actives
+        # count loudly in ``overflow`` (assertable ==0)
+        k = c.mask.shape[0]
+        cap = int(max(512, k // 4))
+        if cap < k:
+            from .batched import _compact
+            n_active = jnp.sum(c.mask)
+            sel, act, _ = _compact(c.mask > 0.5, cap, k)
+            c = jax.tree.map(lambda a: a[sel], c)
+            c = dataclasses.replace(
+                c, mask=c.mask * act.astype(jnp.float32),
+                overflow=jnp.maximum(n_active - cap, 0.0))
+        return c

@@ -424,6 +424,20 @@ def _gated_containing_tet(tc: TetCollider, x, px, xt0, inv_a,
 # dense planes they saved); gate only where dense compute truly explodes
 _GATE_MIN_PAIRS = 32_000_000
 _SURF_GATE_MIN_PAIRS = 16_000_000
+# below _GATE_MIN_PAIRS the (point, tet-block) candidate gathers lose to
+# dense planes, but a POINT-level pre-compaction still pays: points not
+# inside any current per-tet bounding sphere cannot be inside any tet
+# (exact), and at armadillo scale they are the vast majority, so the
+# barycentric planes + argmax/take shrink to (~256, T).  Only worth it
+# when P is big enough for the compaction to amortize.
+_PRE_GATE_MIN_PTS = 512
+# sphere-gate formulation: VPU component planes vs MXU cross-term
+# matmul.  Counter-intuitive but measured (same-session A/B at the
+# contact-MPC shape): standalone the matmul gate is 10× faster (2.7 vs
+# 26 ms), but inside the full detect the planes FUSE into the
+# consumers while the matmul materializes its (P, T) output, and the
+# planes win 8.8 vs 11.2 ms.  Kept as a trace-time switch.
+_PRE_GATE_MXU = False
 
 
 def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
@@ -443,6 +457,7 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
     # hoist per-TARGET current-pose data: a collider appearing as the
     # target of several pairs pays its (scalar-form) 3×3 inverses once
     tgt_cache = {}
+    sph_cache = {}
 
     def _target(tc):
         key = id(tc)
@@ -454,6 +469,21 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
             tgt_cache[key] = (xt0, inv3(a))
         return tgt_cache[key]
 
+    def _tet_spheres(tc):
+        """Current-pose PER-TET bounding spheres (T, 3), (T,) — shared
+        by every pair targeting this collider.  Per-tet spheres (not
+        16-tet Morton blocks) because tightness is what matters for the
+        point pre-gate: on the settled armadillo pile the 16-tet block
+        spheres admit 759/1180 points where per-tet spheres admit 4."""
+        key = id(tc)
+        if key not in sph_cache:
+            verts = x[tc.tets]                        # (T, 4, 3)
+            c3 = verts.mean(axis=1)
+            r2 = jnp.max(jnp.sum((verts - c3[:, None, :]) ** 2, -1),
+                         axis=1)
+            sph_cache[key] = (c3, r2)
+        return sph_cache[key]
+
     rows = []
     gate_overflow = jnp.zeros((), jnp.float32)
     for (off, cnt, fric_pg), tc in pairs:
@@ -463,6 +493,49 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
         idx = jnp.arange(off, off + cnt, dtype=jnp.int32)
 
         xt0, inv_a = _target(tc)
+        pre_act = None
+        if (cnt >= _PRE_GATE_MIN_PTS
+                and cnt * tc.tets.shape[0] <= _GATE_MIN_PAIRS):
+            # point-level pre-compaction through the per-tet sphere
+            # gate: exact (a point inside a tet lies inside the sphere
+            # centered at its centroid with radius max |vᵢ − c|), so
+            # only capacity drops (counted) can change the result.  The
+            # (P, T) sphere plane costs ~1/3 of the barycentric inside
+            # planes and kills the (P, T) argmax/take that follow —
+            # they now run on the compacted ~cap_pre rows.
+            tc3, tr2 = _tet_spheres(tc)
+            if _PRE_GATE_MXU:
+                # |p−c|² < r² as p·p − 2 p·c < r² − c·c: the (P, T)
+                # cross term is a K=3 matmul — MXU.  Coordinates are
+                # centered on the point group and the matmul runs at
+                # HIGHEST precision (3-pass bf16 ≈ f32); the +1e-5
+                # absolute slack (coordinates O(1) after centering)
+                # keeps the gate conservative under rounding — false
+                # positives are just extra candidates.
+                mid = jnp.mean(px, axis=0)
+                pc = px - mid[None, :]
+                cc = tc3 - mid[None, :]
+                cross = jax.lax.dot_general(
+                    pc, cc, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)  # (P, T)
+                p2 = jnp.sum(pc * pc, -1)
+                rhs = tr2 - jnp.sum(cc * cc, -1) + 1e-5   # (T,)
+                ok_p = ((p2[:, None] - 2.0 * cross)
+                        < rhs[None, :]).any(-1)           # (P,)
+            else:
+                d2 = sum((px[:, None, c] - tc3[None, :, c]) ** 2
+                         for c in range(3))               # (P, T)
+                ok_p = (d2 < tr2[None, :]).any(-1)        # (P,)
+            from .batched import _compact
+            cap_pre = int(min(cnt, max(256, cnt // 4)))
+            sel0, act0, drop0 = _compact(ok_p, cap_pre, cnt)
+            gate_overflow = gate_overflow + drop0
+            px = px[sel0]
+            pw = pw[sel0]
+            pvel = pvel[sel0]
+            idx = idx[sel0]
+            pre_act = act0
+            cnt = cap_pre
         if (tc.tet_blocks is not None
                 and cnt * tc.tets.shape[0] > _GATE_MIN_PAIRS):
             # block-gated candidate search (O(P·Bt) gate + compacted
@@ -483,6 +556,8 @@ def detect_solid_contacts(pairs, x: Array, v: Array, inv_mass: Array,
             inside = ((b3[0] >= 0.0) & (b3[1] >= 0.0) & (b3[2] >= 0.0)
                       & (b3[0] + b3[1] + b3[2] <= 1.0))   # (P, T)
             has = inside.any(-1)
+            if pre_act is not None:
+                has = has & pre_act   # compaction dummies carry row-0 data
             tet_idx = jnp.argmax(inside, axis=-1)         # (P,)
             bary = jnp.stack(
                 [jnp.take_along_axis(b, tet_idx[:, None], axis=1)[:, 0]
